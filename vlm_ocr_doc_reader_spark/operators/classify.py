@@ -1,0 +1,77 @@
+"""Boilerplate classification (M1) as pure Catalyst column expressions.
+
+Deterministic replacement for the reference's VLM "scan" pass
+(/root/reference/02_src/vlm_ocr_doc_reader/operations/scan.py:22-67 +
+core/reader.py:128-215): instead of asking a model which blocks are main
+content, we compute text-density/nav features per span and apply the shared
+rules from ``extraction.spec`` — every rule here mirrors
+``spec.classify_keep`` 1:1 and is covered by a parity test.
+
+Everything is JVM-side (whole-stage codegen): regexp/length/when — no Python
+in this hot path, so the classify stage costs one narrow projection over the
+exploded span table at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..extraction import spec
+
+_WS = r"\s+"
+
+
+def parse_span_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add bbox/anchor/cleaned columns derived from the raw span text.
+
+    Input: exploded span table (doc_id, kind, text, media_ref, offset).
+    Adds: has_bbox, bx0..by1 (int, null when absent), anchors (array<string>),
+    cleaned (anchor-stripped, whitespace-collapsed text, never null).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    has_bbox = t.rlike(spec.BBOX_RE)
+    wo_bbox = F.regexp_replace(t, spec.BBOX_RE, "")
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(wo_bbox, spec.ANCHOR_RE, " "), _WS, " "))
+
+    def coord(i: int) -> Column:
+        c = F.regexp_extract(t, spec.BBOX_RE, i)
+        return F.when(has_bbox, c.cast("int"))
+
+    return (df
+            .withColumn("has_bbox", has_bbox)
+            .withColumn("bx0", coord(1)).withColumn("by0", coord(2))
+            .withColumn("bx1", coord(3)).withColumn("by1", coord(4))
+            .withColumn("anchors",
+                        F.regexp_extract_all(wo_bbox, F.lit(spec.ANCHOR_RE), 1))
+            .withColumn("cleaned", cleaned))
+
+
+def keep_expr(kind: Column, cleaned: Column, media_ref: Column) -> Column:
+    """Catalyst mirror of ``spec.classify_keep`` (parity-tested)."""
+    nwords = F.when(cleaned == "", F.lit(0)) \
+              .otherwise(F.size(F.split(cleaned, " ")))
+    pipes = F.length(cleaned) - F.length(F.replace(cleaned, F.lit("|"), F.lit("")))
+    is_nav = F.lower(cleaned).rlike(spec.NAV_RE)
+    last = F.substring(cleaned, -1, 1)
+    text_keep = (
+        (cleaned != "")
+        & ~is_nav
+        & (pipes.cast("double") <= F.lit(spec.PIPE_RATIO) * nwords.cast("double"))
+        & ((nwords >= spec.MIN_WORDS) | last.isin(*spec.SENTENCE_END))
+    )
+    media_ok = media_ref.isNotNull() & (media_ref != "")
+    return (F.when(kind.isin("boilerplate", "link"), F.lit(False))
+             .when(kind.isin("image", "table"), media_ok)
+             .when(kind == "heading", cleaned != "")
+             .when(kind == "text", text_keep)
+             .otherwise(F.lit(False)))
+
+
+def classify(df: DataFrame) -> DataFrame:
+    """parse + keep flag. Input: exploded spans; output adds ``keep``."""
+    out = parse_span_columns(df)
+    return out.withColumn(
+        "keep", keep_expr(F.col("kind"), F.col("cleaned"),
+                          F.col("media_ref")))
