@@ -1,0 +1,39 @@
+"""Scalar column functions mirroring the reference's normalizers.
+
+Each has a pure-Python twin in ``extraction.spec``; parity tests keep them in
+lockstep.  All are JVM built-ins (translate/regexp/sha2) — whole-stage
+codegen, no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_ocr_digits_col(col: Column,
+                             expected_len: int | None = None) -> Column:
+    """F8 (utils/normalization.py:6-72): O/o->0, l/I->1, S->5, B->8, strip
+    non-digits; optional exact-length gate (null when length differs)."""
+    digits = F.regexp_replace(F.translate(col, "OolISB", "001158"),
+                              "[^0-9]", "")
+    if expected_len is None:
+        return digits
+    return F.when(F.length(digits) == expected_len, digits)
+
+
+def strip_json_fence_col(col: Column) -> Column:
+    """F1 (operations/scan.py:70-76): unwrap ```json ... ``` fences, pass
+    through unfenced text."""
+    extracted = F.regexp_extract(col, r"```(?:json)?\s*([\s\S]*?)\s*```", 1)
+    return F.when(extracted != "", extracted).otherwise(F.trim(col))
+
+
+def content_hash_col(col: Column) -> Column:
+    """F10 (core/state.py:225-241): SHA-256 identity of the payload."""
+    return F.sha2(col, 256)
+
+
+def sanitize_filename_col(col: Column) -> Column:
+    """F11 (core/state.py:244-259): replace filesystem-unsafe chars."""
+    return F.regexp_replace(col, r'[\\/:*?"<>|]', "_")

@@ -1,0 +1,91 @@
+"""Majority-vote aggregation (A2) — the reference's flagship aggregate.
+
+DataFrame mirror of /root/reference/02_src/vlm_ocr_doc_reader/core/voting.py:44-89
+(call site core/reader.py:489-520), pure built-in ops — no UDF:
+
+  * valid samples: status in ('ok', 'no_data'); errors don't vote
+  * votes grouped by normalized value (trim + collapse whitespace + lower,
+    blank/None -> __NO_DATA__ sentinel, voting.py:30-41)
+  * winner: max vote count, tie -> group appearing earliest in the input
+    (== lowest axis_idx of the group's first sample, voting.py:79)
+  * reported value: ORIGINAL value of the winning group's earliest sample,
+    outer-stripped; '' when the winner is the no-data group (voting.py:84)
+  * context: that same sample's context (voting.py:85)
+  * confidence 'k/N', N = valid voters; all-errors -> '0/{total}'
+    (voting.py:68,87)
+  * verified = k == N_valid == N_total (voting.py:88)
+  * entities whose samples ALL errored still yield a row ('', null, '0/n',
+    false) — the caller-side guard (reader.py:501-507) is the separate
+    filter ``~confidence.startswith('0/')`` (P9).
+
+Input:  samples(entity_id, axis_idx int, value, context, status) —
+        axis_idx is the sample's input position (J5 tags runs with it).
+Output: (entity_id, value, context, confidence, verified).
+
+Scale: two hash aggregations + one top-1-per-key window, all partitioned by
+entity_id — map-side partial aggregation applies; no skew (each entity has
+only N_axes samples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..extraction import spec
+
+
+def normalize_for_vote_col(col: Column) -> Column:
+    """Column mirror of spec.normalize_for_vote (parity-tested)."""
+    return (F.when(col.isNull() | (F.trim(col) == ""),
+                   F.lit(spec.NO_DATA_SENTINEL))
+             .otherwise(F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))))
+
+
+def majority_vote(samples: DataFrame,
+                  key_cols: tuple[str, ...] = ("entity_id",)) -> DataFrame:
+    keys = list(key_cols)
+
+    per_entity = (samples
+                  .withColumn("is_valid",
+                              F.col("status").isin("ok", "no_data"))
+                  .groupBy(*keys)
+                  .agg(F.count("*").alias("n_total"),
+                       F.count_if(F.col("is_valid")).alias("n_valid")))
+
+    valid = (samples
+             .filter(F.col("status").isin("ok", "no_data"))
+             .withColumn("norm", normalize_for_vote_col(F.col("value"))))
+
+    groups = (valid.groupBy(*keys, "norm")
+              .agg(F.count("*").alias("votes"),
+                   F.min("axis_idx").alias("first_pos"),
+                   F.min_by(F.struct("value", "context"), "axis_idx")
+                    .alias("first_sample")))
+
+    w = Window.partitionBy(*keys).orderBy(F.desc("votes"), F.asc("first_pos"))
+    winners = (groups.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select(*keys, "norm", "votes", "first_sample"))
+
+    no_winner = F.col("votes").isNull()  # all samples errored
+    value = (F.when(no_winner | (F.col("norm") == spec.NO_DATA_SENTINEL),
+                    F.lit(""))
+              .otherwise(F.trim(F.coalesce(F.col("first_sample.value"),
+                                           F.lit("")))))
+    context = F.when(no_winner, F.lit(None).cast("string")) \
+               .otherwise(F.col("first_sample.context"))
+    confidence = (F.when(no_winner,
+                         F.format_string("0/%d", F.col("n_total")))
+                   .otherwise(F.format_string("%d/%d", F.col("votes"),
+                                              F.col("n_valid"))))
+    verified = (~no_winner
+                & (F.col("votes") == F.col("n_valid"))
+                & (F.col("n_valid") == F.col("n_total")))
+
+    return (per_entity.join(winners, keys, "left")
+            .select(*keys,
+                    value.alias("value"),
+                    context.alias("context"),
+                    confidence.alias("confidence"),
+                    verified.alias("verified")))

@@ -1,0 +1,135 @@
+"""Resolution Levels pipeline: scan (L0) -> resolve (L1) -> verify (L2).
+
+Set-at-a-time mirror of the reference's three entry points
+(core/reader.py:128-215, 237-408, 427-532) with the model channel replaced
+by deterministic operators:
+
+  * scan: derive the precision-target registry from the classified span
+    table.  Every digit run of >= MIN_DIGITS digits in a kept text span
+    becomes a registry entry (the reference's VLM emits "atomic, concrete"
+    targets like ИНН/ОГРН numbers — scan.py:22-67; our deterministic analog
+    targets exactly those digit identifiers).  entity_id = F4 hash synth.
+  * resolve: re-extract each target's value from its span (M2), normalize
+    digits (F8), status ok/no_data; resolution 0 -> 1 (P6/P7).
+  * verify: N independent resolve axes -> majority vote (A2) -> resolution 2
+    with confidence 'k/N'.  The engine is deterministic, so verify is
+    idempotent and votes are unanimous — strictly stronger than the
+    reference's documented non-idempotent verify
+    (decision_002_verify.md:44); the vote operator's tie/error semantics are
+    covered by the ported unit suite instead.
+
+All stages are DataFrame ops; the only shuffles are the groupBys/joins on
+(doc_id[, entity_id]) — well-distributed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_ocr_digits_col
+from ..operators.classify import classify
+from ..operators.registry import (apply_ocr_result, pending_entities,
+                                  synth_entity_id_col, upsert_entries)
+from ..operators.vote import majority_vote
+from .extract import explode_spans
+
+MIN_DIGITS = 6
+_DIGIT_RUN = rf"\d{{{MIN_DIGITS},}}"
+
+
+def _kept_text_spans(documents: DataFrame) -> DataFrame:
+    spans = classify(explode_spans(documents))
+    return spans.filter(F.col("keep") & (F.col("kind") == "text"))
+
+
+def scan(documents: DataFrame) -> DataFrame:
+    """L0: build the registry (doc_id, page_num, entity_id, prompt,
+    resolution=0, ...) from digit-run targets in kept text spans.
+
+    page_num is 1-based like the reference (renderer.py:89-90):
+    page_num = offset + 1.  prompt encodes (span offset, run index) so
+    resolve can re-locate the target without re-scanning.
+    """
+    kept = _kept_text_spans(documents)
+    runs = (kept
+            .select("doc_id",
+                    (F.col("offset") + 1).cast("int").alias("page_num"),
+                    F.posexplode(
+                        F.regexp_extract_all(F.col("cleaned"),
+                                             F.lit(_DIGIT_RUN), 0))
+                     .alias("run_idx", "raw_value")))
+    return (runs
+            .withColumn("prompt",
+                        F.format_string("digits run %d on page %d",
+                                        F.col("run_idx"), F.col("page_num")))
+            .withColumn("entity_id", synth_entity_id_col())
+            .select("doc_id", "page_num", "entity_id", "prompt",
+                    F.lit(0).alias("resolution"),
+                    F.lit(None).cast("string").alias("value"),
+                    F.lit(None).cast("string").alias("context"),
+                    F.lit(False).alias("verified"),
+                    F.lit(None).cast("string").alias("confidence")))
+
+
+def _with_run_idx(registry: DataFrame) -> DataFrame:
+    """Recover the digit-run index from the prompt (the prompt is the
+    machine-readable task description, as in the reference where resolve
+    re-reads the prompt text — reader.py:307-313)."""
+    return registry.withColumn(
+        "run_idx",
+        F.regexp_extract(F.col("prompt"), r"digits run (\d+)", 1).cast("int"))
+
+
+def _ocr_pass(documents: DataFrame, targets: DataFrame) -> DataFrame:
+    """Shared resolve machinery (core/reader.py:277-377): bind each target
+    back to its span (broadcast-friendly equi-join on doc_id+page) and
+    extract + digit-normalize its value; empty -> no_data (F5 semantics,
+    ocr_client.py:121-127)."""
+    kept = _kept_text_spans(documents).select(
+        "doc_id", (F.col("offset") + 1).alias("page_num"), "cleaned")
+    t = targets.select("doc_id", "page_num", "entity_id", "run_idx")
+    j = t.join(kept, ["doc_id", "page_num"], "left")
+    runs = F.regexp_extract_all(F.coalesce(F.col("cleaned"), F.lit("")),
+                                F.lit(_DIGIT_RUN), 0)
+    raw = F.get(runs, F.col("run_idx"))
+    value = normalize_ocr_digits_col(raw)
+    context = F.substring(F.col("cleaned"), 1, 64)
+    return j.select(
+        "doc_id", "entity_id",
+        F.when(raw.isNotNull() & (value != ""), value)
+         .otherwise(F.lit(None).cast("string")).alias("value"),
+        F.when(raw.isNotNull(), context).otherwise(F.lit(None).cast("string"))
+         .alias("context"),
+        F.when(raw.isNull() | (value == ""), F.lit("no_data"))
+         .otherwise(F.lit("ok")).alias("status"))
+
+
+def resolve(documents: DataFrame, registry: DataFrame) -> DataFrame:
+    """L1: resolve pending entities; returns the upserted registry."""
+    pending = _with_run_idx(pending_entities(registry))
+    results = _ocr_pass(documents, pending)
+    updated = apply_ocr_result(pending.drop("run_idx"), results, resolution=1)
+    return upsert_entries(registry, updated)
+
+
+def verify(documents: DataFrame, registry: DataFrame,
+           axes: tuple[int, ...] = (1, 3, 5)) -> DataFrame:
+    """L2: N independent passes (J5 unionByName + axis tag) -> majority vote
+    (A2) -> resolution=2 rewrite (P8) guarded by the all-errors filter (P9)."""
+    targets = _with_run_idx(registry)
+    samples = None
+    for axis_idx, _axis in enumerate(axes):
+        s = (_ocr_pass(documents, targets)
+             .withColumn("axis_idx", F.lit(axis_idx)))
+        samples = s if samples is None else samples.unionByName(s)
+
+    voted = majority_vote(samples, key_cols=("doc_id", "entity_id"))
+    voted = voted.filter(~F.col("confidence").startswith("0/"))  # P9
+    updates = (registry.drop("value", "context", "verified", "confidence")
+               .join(voted, ["doc_id", "entity_id"])
+               .select("doc_id", "page_num", "entity_id", "prompt",
+                       F.lit(2).alias("resolution"),
+                       "value", "context",
+                       "verified", "confidence"))
+    return upsert_entries(registry, updates)

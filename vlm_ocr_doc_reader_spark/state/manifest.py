@@ -1,0 +1,94 @@
+"""Checkpoint manifest: resumable incremental state at corpus scale (T1/J7).
+
+The reference persists a per-document state machine
+(none→scan→resolved→verified, core/state.py:17-22,842-850) and re-derives
+pending work from it on every call, so a rerun "does only what is not yet
+done" (decision_001_resolution_levels.md:48).  At 10^12 docs that state
+machine becomes an append-only manifest table:
+
+  (doc_id string, phase string, content_hash string, n_spans long, ts timestamp)
+
+plus a per-partition metrics side table (lineage + throughput).  A restarted
+job anti-joins its input against the manifest (J7 — the backbone of
+resumability) and processes only the remainder; outputs are written
+partitioned, so completed work is never recomputed or rewritten.
+
+Plain parquet directories stand in for Iceberg tables in this sandbox (same
+append/anti-join pattern; MERGE-based dedup would replace the anti-join on a
+real Iceberg catalog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = ("doc_id string, phase string, content_hash string, "
+                   "n_spans long, ts timestamp")
+METRICS_SCHEMA = ("phase string, partition_id int, docs long, spans long, "
+                  "ts timestamp")
+
+
+def manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest")
+
+
+def metrics_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "metrics")
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def read_manifest(spark: SparkSession, state_dir: str,
+                  phase: str | None = None) -> DataFrame:
+    m = _read_or_empty(spark, manifest_path(state_dir), MANIFEST_SCHEMA)
+    if phase is not None:
+        m = m.filter(F.col("phase") == phase)
+    return m
+
+
+def pending_docs(documents: DataFrame, spark: SparkSession, state_dir: str,
+                 phase: str) -> DataFrame:
+    """Input docs not yet completed for ``phase`` (left-anti join, J7)."""
+    done = read_manifest(spark, state_dir, phase).select("doc_id")
+    return documents.join(done, "doc_id", "left_anti")
+
+
+def commit_phase(processed: DataFrame, spark: SparkSession, state_dir: str,
+                 phase: str) -> None:
+    """Append (doc_id, phase, hash, n_spans, ts) for processed docs, plus a
+    per-partition metrics row (docs/spans counts + commit timestamp) — the
+    reference's incremental save (auto_save=True, core/processor.py:179-181)
+    generalized to partition granularity."""
+    entries = (processed
+               .select("doc_id",
+                       F.lit(phase).alias("phase"),
+                       F.sha2(F.to_json(F.struct("*")), 256)
+                        .alias("content_hash"),
+                       (F.size(F.col("spans")).cast("long")
+                        if "spans" in processed.columns
+                        else F.lit(0).cast("long")).alias("n_spans"),
+                       F.current_timestamp().alias("ts")))
+    entries.write.mode("append").parquet(manifest_path(state_dir))
+
+    metrics = (processed
+               .select(F.spark_partition_id().alias("partition_id"),
+                       (F.size(F.col("spans")).cast("long")
+                        if "spans" in processed.columns
+                        else F.lit(0).cast("long")).alias("nsp"))
+               .groupBy("partition_id")
+               .agg(F.count("*").alias("docs"), F.sum("nsp").alias("spans"))
+               .select(F.lit(phase).alias("phase"), "partition_id", "docs",
+                       "spans", F.current_timestamp().alias("ts")))
+    metrics.write.mode("append").parquet(metrics_path(state_dir))
+
+
+def read_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
+    return _read_or_empty(spark, metrics_path(state_dir), METRICS_SCHEMA)
