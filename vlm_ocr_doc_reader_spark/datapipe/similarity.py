@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with built-in higher-order functions
+(zip_with + aggregate — JVM-side, no Python).  Scale path: LSH-bucketed
+(sign-random-projection) search that prunes the candidate set to matching
+buckets before the exact re-rank, so the cross product never materializes.
+
+At 100 TB the brute-force path is only for small query sets against a
+broadcastable corpus sample; the bucketed path shuffles once on the bucket
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "va",
+                b_col: str = "vb") -> DataFrame:
+    a = F.transform(F.col(a_col), lambda x: x.cast("double"))
+    b = F.transform(F.col(b_col), lambda x: x.cast("double"))
+    return pairs.withColumn(
+        "cosine", (_dot(a, b) / (_norm2(a) * _norm2(b))).cast("double"))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries``: (qid, qvec).  The query side is broadcast (small by
+    contract), so the corpus is scanned once with no shuffle; the top-k is a
+    per-qid window.  Output: (qid, nbr_id, rank, cosine)."""
+    corpus = emb.select(F.col(id_col).alias("nbr_id"),
+                        F.col(vec_col).alias("vb"))
+    crossed = F.broadcast(queries.select("qid", F.col("qvec").alias("va"))) \
+        .join(corpus, F.col("qid") != F.col("nbr_id"))
+    scored = with_cosine(crossed)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def srp_buckets(emb: DataFrame, planes: list[list[float]],
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection bucket per vector: bit p = (v . plane_p) >= 0.
+    ``planes`` are driver-provided deterministic hyperplanes (seeded numpy in
+    the caller).  Output: (id, bucket int)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = None
+    for p, plane in enumerate(planes):
+        d = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
+        bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col).alias("id"),
+                      bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket, exact cosine
+    re-rank within bucket.  One shuffle on the bucket key."""
+    b = srp_buckets(emb, planes, id_col, vec_col)
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+           .join(b, "id")
+    left = e.select(F.col("id").alias("qid"), F.col("v").alias("va"), "bucket")
+    right = e.select(F.col("id").alias("nbr_id"), F.col("v").alias("vb"),
+                     "bucket")
+    cand = left.join(right, "bucket").filter(F.col("qid") != F.col("nbr_id"))
+    scored = with_cosine(cand)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        planes: list[list[float]] | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
+    With ``planes`` the pair generation is LSH-bucketed; without, exact
+    label-blocked... no blocking — exact all-pairs (small inputs only)."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if planes is not None:
+        b = srp_buckets(emb, planes, id_col, vec_col)
+        e = e.join(b, "id")
+        join_key = ["bucket"]
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     "bucket")
+        c = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     "bucket")
+        cand = a.join(c, join_key)
+    else:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        c = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cand = a.crossJoin(c)
+    cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    return (with_cosine(cand)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

@@ -1,0 +1,97 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (regexp/length/case) — the formulas are fixed
+constants so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# tiny per-language marker lists for the n-gram/stopword lang-id heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "ru": ("и", "в", "не"),
+}
+
+_WORD_SPLIT = r"\s+"
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count; 0 for blank."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, _WORD_SPLIT)))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish upper bound: count word-piece matches of a subword regex
+    (letters runs of <=4 chars, digit runs, single punctuation)."""
+    return F.size(F.regexp_extract_all(
+        F.coalesce(text, F.lit("")),
+        F.lit(r"[A-Za-zА-Яа-яЁё]{1,4}|[0-9]+|[^\sA-Za-zА-Яа-яЁё0-9]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation ratio / stopword ratio features + a fixed-formula
+    quality score in [0,1] (higher = more prose-like)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    low = F.lower(t)
+    n_stop = F.size(F.regexp_extract_all(
+        low, F.lit(r"\b(" + "|".join(STOPWORDS) + r")\b"), 0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    mean_word_len = F.when(n_tokens > 0,
+                           (n_chars - n_tokens + 1) / n_tokens).otherwise(0.0)
+    score = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.3)
+    return (df
+            .withColumn("n_chars", n_chars.cast("long"))
+            .withColumn("n_tokens", n_tokens.cast("long"))
+            .withColumn("punct_ratio", F.round(punct_ratio, 6).cast("double"))
+            .withColumn("stopword_ratio", F.round(stop_ratio, 6).cast("double"))
+            .withColumn("mean_word_len",
+                        F.round(mean_word_len, 6).cast("double"))
+            .withColumn("quality_score", F.round(score, 6).cast("double")))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: language with the most marker hits wins;
+    ties broken by language code order; no hits -> 'und'."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hits = []
+    for code in sorted(LANG_MARKERS):
+        pat = r"\b(" + "|".join(LANG_MARKERS[code]) + r")\b"
+        hits.append((code,
+                     F.size(F.regexp_extract_all(low, F.lit(pat), 0))))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for code, n in hits:  # first max wins (codes pre-sorted)
+        better = n > best_n
+        best = F.when(better, F.lit(code)).otherwise(best)
+        best_n = F.when(better, n).otherwise(best_n)
+    return df.withColumn("pred_lang", best)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprint: minimum md5 over word tokens (a 1-perm MinHash —
+    stable under token reordering, portable to any SQL engine).
+    Output: (id, fingerprint)."""
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    toks = F.split(t, " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(F.transform(toks, lambda x: F.md5(x)))
+         .alias("fingerprint"))
