@@ -1,0 +1,121 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, compare
+row-count + schema + order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def duck_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif "float" in str(df[c].dtype):
+            df[c] = df[c].astype(float).round(6)
+        elif "bool" in str(df[c].dtype):
+            df[c] = df[c].astype(bool)
+        else:
+            try:
+                df[c] = df[c].astype("Int64")
+            except Exception:
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_df, duck_df) -> list[str]:
+    issues = []
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        issues.append(f"schema: spark={list(a.columns)} duck={list(b.columns)}")
+        return issues
+    if len(a) != len(b):
+        issues.append(f"rows: spark={len(a)} duck={len(b)}")
+        return issues
+    for c in a.columns:
+        if "float" in str(a[c].dtype) or "float" in str(b[c].dtype):
+            av, bv = a[c].astype(float), b[c].astype(float)
+            bad = ~((av - bv).abs() <= 1e-6) & ~(av.isna() & bv.isna())
+        else:
+            bad = (a[c].astype(str) != b[c].astype(str))
+        n_bad = int(bad.sum())
+        if n_bad:
+            i = bad.idxmax()
+            issues.append(f"col {c}: {n_bad} diffs, first at row {i}: "
+                          f"spark={a[c][i]!r} duck={b[c][i]!r}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from vlm_ocr_doc_reader_spark.contract import ORACLES, QUERIES
+    from vlm_ocr_doc_reader_spark.sources.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16,
+                      extra_conf={"spark.ui.enabled": "false"})
+    con = duck_conn(sf_dir)
+
+    n_pass = n_fail = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            ok = len(sdf) >= 0
+            print(f"rows-only {name}: {len(sdf)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(ORACLES[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        issues = compare(name, sdf, ddf)
+        if issues:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} spark rows, {len(ddf)} duck rows, "
+                  f"{time.time()-t0:.1f}s)")
+            for i in issues[:4]:
+                print(f"     {i}")
+        else:
+            n_pass += 1
+            print(f"ok   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,827 @@
+"""Driver-contract queries: one entry per SURVEY §2 operator, each with an
+exact DuckDB oracle (see ``__spark_entry__.py``).
+
+Every Spark query here is built from the engine's operator modules (or the
+same primitives they use) and demonstrated on the driver's TPC-H-ish tables
+at /root/testdata.  Column names are aliased identically on both sides —
+the driver compares sorted-by-name value hashes.  Floats are rounded to 6
+decimals on BOTH sides before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .datapipe.dedup import (exact_duplicates, jaccard_pairs, minhash_bands,
+                             minhash_candidate_pairs, minhash_signatures,
+                             simhash)
+from .datapipe.similarity import brute_force_topk
+from .datapipe.textstats import (STOPWORDS, bpe_ish_token_count_col,
+                                 lang_id, quality_features, token_count_col)
+from .extraction import spec
+from .functions.normalize import normalize_ocr_digits_col
+from .operators.chunking import chunk_within
+from .operators.registry import synth_entity_id_col
+from .operators.vote import majority_vote, normalize_for_vote_col
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: main-content extraction over sentence spans derived from the
+# driver `documents` table (classification + ordering are the engine's M1/W8
+# path; fully SQL-expressible here because derived spans carry no bbox/media,
+# so the oracle is exact).
+# ---------------------------------------------------------------------------
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import keep_expr
+    docs = load(spark, sf_dir, "documents")
+    spans = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("offset", "raw")))
+    cleaned = F.trim(F.regexp_replace(F.col("raw"), r"\s+", " "))
+    kept = (spans.withColumn("text", cleaned)
+            .withColumn("keep", keep_expr(F.lit("text"), F.col("text"),
+                                          F.lit(None).cast("string")))
+            .filter(F.col("keep")))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (kept.withColumn("ord", (F.row_number().over(w) - 1).cast("int"))
+            .select("doc_id", "ord", F.col("text").alias("span_text")))
+
+
+def oracle_extract_text() -> str:
+    nav = spec.NAV_RE
+    return f"""
+WITH sp AS (
+  SELECT doc_id, i - 1 AS off,
+         trim(regexp_replace(parts[i], '\\s+', ' ', 'g')) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), kept AS (
+  SELECT * FROM sp
+  WHERE text <> ''
+    AND NOT regexp_matches(lower(text), '{nav}')
+    AND (length(text) - length(replace(text, '|', '')))
+        <= {spec.PIPE_RATIO} * len(string_split(text, ' '))
+    AND (len(string_split(text, ' ')) >= {spec.MIN_WORDS}
+         OR substr(text, length(text), 1) IN ('.', '!', '?'))
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+            AS INTEGER) AS ord,
+       text AS span_text
+FROM kept
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator demonstrations
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A1/A3: hash aggregate with map-side combine (TPC-H Q1 shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_order_per_cust(spark, sf_dir):
+    """W4: top-1-per-key window (vote winner shape, voting.py:79)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 4).alias("top_price")))
+
+
+ORACLE_TOP_ORDER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS top_price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_dim_join_rollup(spark, sf_dir):
+    """J4: broadcast dimension joins (page-image lookup shape)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+ORACLE_DIM_JOIN = """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J6: membership semi-join (page filters P3/P4)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers")))
+
+
+ORACLE_SEMI = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J7: anti-join — the resume/already-processed exclusion backbone."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_upsert_merge(spark, sf_dir):
+    """J1: merge-by-key, update wins (state.py:795-822 whole-row replace)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0) \
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (o.filter(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey",
+                   F.lit("U").alias("u_status"),
+                   (F.col("o_totalprice") + 1000).alias("u_price"),
+                   F.lit(True).alias("u_hit")))
+    m = base.join(upd, "o_orderkey", "full_outer")
+    hit = F.col("u_hit").isNotNull()
+    return m.select(
+        "o_orderkey",
+        F.when(hit, F.col("u_status")).otherwise(F.col("o_orderstatus"))
+         .alias("status"),
+        F.round(F.when(hit, F.col("u_price")).otherwise(F.col("o_totalprice")),
+                4).alias("price"))
+
+
+ORACLE_UPSERT = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderkey % 3 <> 0),
+upd AS (SELECT o_orderkey, 'U' AS u_status, o_totalprice + 1000 AS u_price,
+               TRUE AS u_hit FROM orders WHERE o_orderkey % 2 = 0)
+SELECT coalesce(base.o_orderkey, upd.o_orderkey) AS o_orderkey,
+       CASE WHEN u_hit IS NOT NULL THEN u_status ELSE o_orderstatus END AS status,
+       round(CASE WHEN u_hit IS NOT NULL THEN u_price ELSE o_totalprice END, 4)
+         AS price
+FROM base FULL OUTER JOIN upd USING (o_orderkey)
+"""
+
+
+def q_apply_results(spark, sf_dir):
+    """J2+P6: left-join results with default-to-error (reader.py:310-313)."""
+    li = load(spark, sf_dir, "lineitem")
+    res = (load(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey", F.col("o_orderstatus").alias("r_status")))
+    return (li.join(res, li.l_orderkey == res.o_orderkey, "left")
+            .select("l_orderkey", "l_linenumber",
+                    F.coalesce(F.col("r_status"), F.lit("error"))
+                     .alias("status")))
+
+
+ORACLE_APPLY = """
+SELECT l_orderkey, l_linenumber,
+       coalesce(r.o_orderstatus, 'error') AS status
+FROM lineitem LEFT JOIN
+  (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0) r
+  ON l_orderkey = r.o_orderkey
+"""
+
+
+def q_chunking(spark, sf_dir):
+    """W1/W3: deterministic chunk + 1-based task numbering
+    (reader.py:300-308, ocr_client.py:232)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    out = chunk_within(li, ["l_orderkey"], "l_linenumber", 3)
+    return out.select("l_orderkey", "l_linenumber", "chunk_id", "task_num")
+
+
+ORACLE_CHUNKING = """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor((rn - 1) / 3) AS INTEGER) AS chunk_id,
+       CAST((rn - 1) % 3 + 1 AS INTEGER) AS task_num
+FROM (SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber) AS rn
+      FROM lineitem)
+"""
+
+
+def q_vote(spark, sf_dir):
+    """A2: the flagship majority-vote aggregate on the events table —
+    entity = user, axis = event_id, 'error' events don't vote."""
+    ev = load(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").cast("int").alias("axis_idx"),
+        F.col("event_type").alias("value"),
+        F.col("props").alias("context"),
+        F.when(F.col("event_type") == "error", "error").otherwise("ok")
+         .alias("status"))
+    return majority_vote(samples).withColumnRenamed("entity_id", "user_id")
+
+
+ORACLE_VOTE = """
+WITH s AS (
+  SELECT user_id, CAST(event_id AS INTEGER) AS axis_idx,
+         event_type AS value, props AS context,
+         CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END AS status
+  FROM events
+), tot AS (
+  SELECT user_id, count(*) AS n_total,
+         count(*) FILTER (WHERE status IN ('ok','no_data')) AS n_valid
+  FROM s GROUP BY user_id
+), valid AS (
+  SELECT *, CASE WHEN value IS NULL OR trim(value) = '' THEN '__NO_DATA__'
+            ELSE lower(regexp_replace(trim(value), '\\s+', ' ', 'g')) END AS norm
+  FROM s WHERE status IN ('ok','no_data')
+), grp AS (
+  SELECT user_id, norm, count(*) AS votes, min(axis_idx) AS first_pos,
+         min_by(value, axis_idx) AS f_value,
+         min_by(context, axis_idx) AS f_context
+  FROM valid GROUP BY user_id, norm
+), win AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY votes DESC, first_pos ASC) AS rn FROM grp)
+  WHERE rn = 1
+)
+SELECT t.user_id,
+  CASE WHEN w.votes IS NULL OR w.norm = '__NO_DATA__' THEN ''
+       ELSE trim(coalesce(w.f_value, '')) END AS value,
+  CASE WHEN w.votes IS NULL THEN NULL ELSE w.f_context END AS context,
+  CASE WHEN w.votes IS NULL THEN '0/' || CAST(t.n_total AS VARCHAR)
+       ELSE CAST(w.votes AS VARCHAR) || '/' || CAST(t.n_valid AS VARCHAR)
+       END AS confidence,
+  (w.votes IS NOT NULL AND w.votes = t.n_valid AND t.n_valid = t.n_total)
+    AS verified
+FROM tot t LEFT JOIN win w USING (user_id)
+"""
+
+
+def q_entity_id(spark, sf_dir):
+    """F4: entity-id synthesis scan_{page}_{sha256(prompt)[:8]}."""
+    d = load(spark, sf_dir, "documents")
+    return (d.withColumn("page_num", (F.col("doc_id") % 50 + 1).cast("int"))
+            .withColumn("prompt", F.col("text"))
+            .select("doc_id", synth_entity_id_col().alias("entity_id")))
+
+
+ORACLE_ENTITY_ID = """
+SELECT doc_id,
+       'scan_' || CAST(doc_id % 50 + 1 AS VARCHAR) || '_' ||
+       substr(sha256(text), 1, 8) AS entity_id
+FROM documents
+"""
+
+
+def q_normalize_vote(spark, sf_dir):
+    """F7: vote normalization over document text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    normalize_for_vote_col(F.col("text")).alias("norm"))
+
+
+ORACLE_NORMALIZE = """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN '__NO_DATA__'
+            ELSE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) END AS norm
+FROM documents
+"""
+
+
+def q_digit_norm(spark, sf_dir):
+    """F8: OCR digit normalization O/o->0 l/I->1 S->5 B->8 + digit strip."""
+    ev = load(spark, sf_dir, "events")
+    raw = F.concat(F.lit("Id-"), F.col("props"), F.lit("-OlS"),
+                   F.col("user_id").cast("string"))
+    return ev.select("event_id",
+                     normalize_ocr_digits_col(raw).alias("digits"))
+
+
+ORACLE_DIGIT_NORM = """
+SELECT event_id,
+       regexp_replace(translate('Id-' || props || '-OlS' ||
+                                CAST(user_id AS VARCHAR),
+                                'OolISB', '001158'),
+                      '[^0-9]', '', 'g') AS digits
+FROM events
+"""
+
+
+def q_ordered_concat(spark, sf_dir):
+    """A4/F13: order-sensitive concat via sort_array(collect_list(struct))."""
+    p = load(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("p_partkey", "p_name"))),
+                    lambda x: x["p_name"]),
+                "\n\n").alias("names")))
+
+
+ORACLE_ORDERED_CONCAT = """
+SELECT p_brand, string_agg(p_name, chr(10) || chr(10) ORDER BY p_partkey)
+       AS names
+FROM part GROUP BY p_brand
+"""
+
+
+def q_union_dedupe(spark, sf_dir):
+    """U3/P10/W7: explode(sequence) + union + distinct (CLI page ranges)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_linenumber").cast("int").alias("page"))
+    b = load(spark, sf_dir, "region").select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("page"))
+    return a.unionByName(b).distinct()
+
+
+ORACLE_UNION = """
+SELECT DISTINCT page FROM (
+  SELECT CAST(l_linenumber AS INTEGER) AS page FROM lineitem
+  UNION ALL
+  SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS page
+  FROM region)
+"""
+
+
+def q_status_counts(spark, sf_dir):
+    """A3: status counting."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+ORACLE_STATUS = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_distinct_users(spark, sf_dir):
+    """A7: distinct counting per group."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+ORACLE_DISTINCT = ("SELECT event_type, count(DISTINCT user_id) AS n_users "
+                   "FROM events GROUP BY event_type")
+
+
+def q_count_if(spark, sf_dir):
+    """A5/A6: conditional counting (unanimity tally shape)."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count_if(F.col("value") > 100).alias("n_big"),
+                 F.count_if(F.col("value") <= 100).alias("n_small")))
+
+
+ORACLE_COUNT_IF = """
+SELECT event_type,
+       count(*) FILTER (WHERE value > 100) AS n_big,
+       count(*) FILTER (WHERE value <= 100) AS n_small
+FROM events GROUP BY event_type
+"""
+
+
+def q_first_per_key(spark, sf_dir):
+    """W5: min_by earliest-sample selection (voting.py:83-85)."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.min_by("event_type", "event_id").alias("first_type"),
+                 F.min("event_id").alias("first_event")))
+
+
+ORACLE_FIRST = """
+SELECT user_id, min_by(event_type, event_id) AS first_type,
+       min(event_id) AS first_event
+FROM events GROUP BY user_id
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """F2-shape: JSON field parse from the props column."""
+    return (load(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k")))
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_page_normalize(spark, sf_dir):
+    """P1: range-check + dedupe + sort of requested pages."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.select(F.col("l_linenumber").cast("int").alias("page"))
+            .filter(F.col("page").between(1, 5))
+            .distinct())
+
+
+ORACLE_PAGE_NORM = """
+SELECT DISTINCT CAST(l_linenumber AS INTEGER) AS page
+FROM lineitem WHERE l_linenumber BETWEEN 1 AND 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return exact_duplicates(d)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (jaccard_pairs(d, k=1)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+ORACLE_JACCARD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS t
+    FROM documents WHERE doc_id < 20) WHERE t <> ''
+), sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+"""
+
+
+_DUCK_SHINGLES3 = """
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                 'g')), ' ') AS words
+        FROM documents WHERE doc_id < {lim}) d,
+       LATERAL (SELECT unnest(generate_series(1,
+                CASE WHEN len(words) >= 3 THEN len(words) - 2 ELSE 1 END))
+                AS i) g
+"""
+
+
+def q_minhash_sig(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return minhash_signatures(d, n_hashes=8, k=3)
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH toks AS ({_DUCK_SHINGLES3.format(lim=20)})
+SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
+GROUP BY id, seed
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signatures(d, n_hashes=8, k=3)
+    return minhash_candidate_pairs(minhash_bands(sig, rows_per_band=2))
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH toks AS ({_DUCK_SHINGLES3.format(lim=200)}), sig AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY id, seed
+), bands AS (
+  SELECT id, CAST(floor(seed / 2) AS INTEGER) AS band_idx,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+             ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_hash
+  FROM sig GROUP BY id, floor(seed / 2)
+), sized AS (
+  SELECT band_idx, band_hash FROM bands GROUP BY band_idx, band_hash
+  HAVING count(*) > 1 AND count(*) <= 1000
+), b AS (SELECT bands.* FROM bands JOIN sized USING (band_idx, band_hash))
+SELECT DISTINCT a.id AS id_a, c.id AS id_b
+FROM b a JOIN b c USING (band_idx, band_hash) WHERE a.id < c.id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    return brute_force_topk(e, q, k=3)
+
+
+ORACLE_COSINE_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nbr_id ASC) AS rank FROM scored
+)
+SELECT qid, nbr_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score")
+
+
+ORACLE_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b({"|".join(STOPWORDS)})\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_chars > 0
+             THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END, 6)
+         AS punct_ratio,
+       round(CASE WHEN n_tokens > 0
+             THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0 END, 6)
+         AS stopword_ratio,
+       round(least(n_tokens / 50.0, 1.0) * 0.4
+             + least(CASE WHEN n_tokens > 0
+                     THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0 END
+                     * 5.0, 1.0) * 0.3
+             + (1.0 - least(CASE WHEN n_chars > 0
+                            THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END
+                            * 4.0, 1.0)) * 0.3, 6) AS quality_score
+FROM f
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "pred_lang")
+
+
+def _oracle_lang_id() -> str:
+    from .datapipe.textstats import LANG_MARKERS
+    hit_cols = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), "
+        f"'\\b({'|'.join(LANG_MARKERS[c])})\\b')) AS h_{c}"
+        for c in sorted(LANG_MARKERS))
+    codes = sorted(LANG_MARKERS)
+    # fold: first strictly-greater wins, scanning codes in sorted order
+    m = ", ".join(f"h_{c}" for c in codes)
+    case = "CASE WHEN greatest(" + m + ") = 0 THEN 'und'"
+    for c in codes:
+        case += f" WHEN h_{c} = greatest({m}) THEN '{c}'"
+    case += " END"
+    return f"""
+WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+SELECT doc_id, {case} AS pred_lang FROM h
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"))
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '[A-Za-zА-Яа-яЁё]{1,4}|[0-9]+|[^\\sA-Za-zА-Яа-яЁё0-9]'))
+         AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .datapipe.textstats import fingerprint
+    d = load(spark, sf_dir, "documents")
+    return fingerprint(d)
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id AS id, min(md5(t)) AS fingerprint FROM (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                  'g')), ' ')) AS t
+  FROM documents)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle — covered by golden pytest instead)
+# ---------------------------------------------------------------------------
+
+def _derived_spans(spark, sf_dir):
+    """Span table derived from the flat driver documents table."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+         .alias("doc_id"),
+        F.transform(
+            F.split(F.col("text"), r"\. "),
+            lambda x, i: F.struct(
+                F.lit("text").alias("kind"),
+                x.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"))).alias("spans")))
+
+
+def q_extract_pipeline(spark, sf_dir):
+    """Full nested extraction pipeline (classify+order+assemble) — golden
+    pytest asserts oracle equality; here rows-only."""
+    from .plans.extract import extract
+    return extract(_derived_spans(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(d)
+
+
+def q_levels_verify(spark, sf_dir):
+    """scan -> resolve -> verify over derived spans (rows-only; Levels parity
+    covered by tests/test_levels.py)."""
+    from .plans.levels import resolve, scan, verify
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # inject a deterministic >=6-digit identifier so scan finds targets
+    d = d.withColumn("text", F.concat(
+        F.col("text"), F.lit(" contract number "),
+        (F.col("doc_id") + 7700000000).cast("string"), F.lit(" filed.")))
+    docs = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+         .alias("doc_id"),
+        F.transform(
+            F.split(F.col("text"), r"\. "),
+            lambda x, i: F.struct(
+                F.lit("text").alias("kind"), x.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"))).alias("spans"))
+    return verify(docs, resolve(docs, scan(docs)), axes=(1, 3))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing demo: documents' text bytes as fake payloads."""
+    from .datapipe.multimodal import extract_media_features
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+         .alias("doc_id"),
+        F.concat(F.lit("img_"), F.col("doc_id").cast("string"))
+         .alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(F.lit(64).alias("width"), F.lit(48).alias("height"),
+                 F.lit(None).cast("int").alias("duration_ms"),
+                 F.lit("png").alias("format")).alias("meta"))
+    return extract_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "pricing_summary": q_pricing_summary,
+    "top_order_per_cust": q_top_order_per_cust,
+    "dim_join_rollup": q_dim_join_rollup,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "upsert_merge": q_upsert_merge,
+    "apply_results": q_apply_results,
+    "chunking": q_chunking,
+    "vote": q_vote,
+    "entity_id": q_entity_id,
+    "normalize_vote": q_normalize_vote,
+    "digit_norm": q_digit_norm,
+    "ordered_concat": q_ordered_concat,
+    "union_dedupe": q_union_dedupe,
+    "status_counts": q_status_counts,
+    "distinct_users": q_distinct_users,
+    "count_if": q_count_if,
+    "first_per_key": q_first_per_key,
+    "json_extract": q_json_extract,
+    "page_normalize": q_page_normalize,
+    "dedup_exact": q_dedup_exact,
+    "jaccard": q_jaccard,
+    "minhash_sig": q_minhash_sig,
+    "minhash_pairs": q_minhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    # rows-only (no oracle):
+    "extract_pipeline": q_extract_pipeline,
+    "simhash": q_simhash,
+    "levels_verify": q_levels_verify,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "extract_text": oracle_extract_text(),
+    "pricing_summary": ORACLE_PRICING,
+    "top_order_per_cust": ORACLE_TOP_ORDER,
+    "dim_join_rollup": ORACLE_DIM_JOIN,
+    "semi_join": ORACLE_SEMI,
+    "anti_join": ORACLE_ANTI,
+    "upsert_merge": ORACLE_UPSERT,
+    "apply_results": ORACLE_APPLY,
+    "chunking": ORACLE_CHUNKING,
+    "vote": ORACLE_VOTE,
+    "entity_id": ORACLE_ENTITY_ID,
+    "normalize_vote": ORACLE_NORMALIZE,
+    "digit_norm": ORACLE_DIGIT_NORM,
+    "ordered_concat": ORACLE_ORDERED_CONCAT,
+    "union_dedupe": ORACLE_UNION,
+    "status_counts": ORACLE_STATUS,
+    "distinct_users": ORACLE_DISTINCT,
+    "count_if": ORACLE_COUNT_IF,
+    "first_per_key": ORACLE_FIRST,
+    "json_extract": ORACLE_JSON,
+    "page_normalize": ORACLE_PAGE_NORM,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "jaccard": ORACLE_JACCARD,
+    "minhash_sig": ORACLE_MINHASH_SIG,
+    "minhash_pairs": ORACLE_MINHASH_PAIRS,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "quality": ORACLE_QUALITY,
+    "lang_id": _oracle_lang_id(),
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "fingerprint": ORACLE_FINGERPRINT,
+}
