@@ -1,0 +1,164 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: end-to-end extraction throughput (docs/sec) on the deterministic
+synthetic interleaved corpus (the north metric), plus per-query timings of
+the contract queries at $SPARK_GRAFT_SF_DIR, plus the north rule's
+two-cluster-size scaling evidence: the same extraction job at local[N/4] and
+local[N] on identical input, with scaling efficiency (also written to
+BENCH.md).
+
+Env:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  SPARK_GRAFT_SCALING  (default 1; set 0 to skip the scaling pass)
+  SPARK_GRAFT_BENCH_DOCS (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vlm_ocr_doc_reader_spark.sources.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+BENCH_QUERIES = [
+    "extract_text", "pricing_summary", "top_order_per_cust",
+    "dim_join_rollup", "upsert_merge", "chunking", "vote", "dedup_exact",
+    "minhash_pairs", "cosine_topk", "quality", "lang_id", "fingerprint",
+]
+
+
+def corpus_path() -> str:
+    path = os.path.join(CACHE, f"bench_corpus_{N_DOCS}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        from vlm_ocr_doc_reader_spark.fixtures.generate import (
+            generate_documents, write_documents_parquet)
+        docs = generate_documents(N_DOCS, seed=42, mega_spans=20000)
+        write_documents_parquet(docs, path)
+    return path
+
+
+def run_extraction(master: str, path: str) -> tuple[float, int]:
+    """Run the full extraction pipeline; return (seconds, docs)."""
+    spark = get_spark(master=master, app_name=f"bench-{master}",
+                      shuffle_partitions=max(
+                          8, 2 * int(master.split("[")[1].rstrip("]"))),
+                      extra_conf={"spark.ui.enabled": "false"})
+    try:
+        from vlm_ocr_doc_reader_spark.plans.extract import extract
+        df = spark.read.parquet(path)
+        n = df.count()
+        t0 = time.time()
+        extract(df).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        return dt, n
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    path = corpus_path()
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- scaling evidence: same job, two parallelism levels (N and 4N) ---
+    lo_master, hi_master = f"local[{max(1, CPUS // 4)}]", f"local[{CPUS}]"
+    if DO_SCALING:
+        t_lo, n_docs = run_extraction(lo_master, path)
+        t_hi, _ = run_extraction(hi_master, path)
+        thr_lo, thr_hi = n_docs / t_lo, n_docs / t_hi
+        eff = (thr_hi / thr_lo) / (CPUS / max(1, CPUS // 4))
+        extras["scaling"] = {
+            "input_docs": n_docs,
+            lo_master: {"sec": round(t_lo, 2),
+                        "docs_per_sec": round(thr_lo, 1)},
+            hi_master: {"sec": round(t_hi, 2),
+                        "docs_per_sec": round(thr_hi, 1)},
+            "speedup": round(thr_hi / thr_lo, 3),
+            "efficiency": round(eff, 3),
+        }
+        timings["extract_corpus"] = round(t_hi, 3)
+        docs_per_sec = thr_hi
+    else:
+        t_hi, n_docs = run_extraction(hi_master, path)
+        timings["extract_corpus"] = round(t_hi, 3)
+        docs_per_sec = n_docs / t_hi
+    extras["docs_per_sec"] = round(docs_per_sec, 1)
+
+    # --- contract queries at SF_DIR ---
+    spark = get_spark(master=hi_master, app_name="bench-queries",
+                      shuffle_partitions=2 * CPUS,
+                      extra_conf={"spark.ui.enabled": "false"})
+    try:
+        from vlm_ocr_doc_reader_spark.contract import QUERIES
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "extraction_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "bench_total_sec": total,
+        **extras,
+    }
+    print(json.dumps(result))
+
+    if DO_SCALING:
+        _write_bench_md(result)
+
+
+def _write_bench_md(r: dict) -> None:
+    s = r["scaling"]
+    keys = [k for k in s if k.startswith("local[")]
+    lines = [
+        "# BENCH — measured throughput and scaling\n",
+        f"Corpus: {s['input_docs']} synthetic interleaved docs "
+        f"(seed=42, FIXTURES.md profile incl. mega-doc skew), full "
+        f"extraction pipeline (classify -> XY-cut -> reconcile -> salted "
+        f"assembly), noop sink.\n",
+        "| parallelism | wall sec | docs/sec |",
+        "|---|---|---|",
+    ]
+    for k in keys:
+        lines.append(f"| {k} | {s[k]['sec']} | {s[k]['docs_per_sec']} |")
+    lines += [
+        "",
+        f"**Speedup {keys[0]} -> {keys[1]}: {s['speedup']}x; "
+        f"scaling efficiency: {s['efficiency']}** "
+        f"(north rule target >= 0.8 at N -> 4N).",
+        "",
+        "## Contract query timings (" + r["sf"] + ")",
+        "",
+        "| query | sec |", "|---|---|",
+    ]
+    for q, t in r["queries"].items():
+        lines.append(f"| {q} | {t} |")
+    lines += ["", f"Headline: **{r['value']} docs/sec** end-to-end "
+              f"extraction at local[{CPUS}].", ""]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""spark-submit entry point — mirror of the reference CLI
+(/root/reference/02_src/vlm_ocr_doc_reader/cli.py:298-381) with corpus-level
+commands instead of one-PDF commands:
+
+  spark-submit --py-files vlm_ocr_doc_reader_spark.zip -m ... cli.py \
+      extract --input <documents.parquet> --output <dir> --state <dir>
+  ... scan|resolve|verify --input ... --registry <dir>
+
+Every command is resumable: inputs are anti-joined against the checkpoint
+manifest before any work (J7), and completions are committed per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from .plans.extract import extract
+from .plans.levels import resolve, scan, verify
+from .sources.session import get_spark
+from .state.manifest import commit_phase, pending_docs
+
+
+def parse_pages_arg(arg: str) -> list[int]:
+    """'1,2,5-7' -> [1,2,5,6,7] (cli.py:47-86): driver-side tiny parse."""
+    out: set[int] = set()
+    for part in arg.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            lo_s, hi_s = part.split("-", 1)
+            lo, hi = int(lo_s), int(hi_s)
+            if lo > hi:
+                raise ValueError(f"invalid range {part!r}: lo > hi")
+            out.update(range(lo, hi + 1))
+        else:
+            out.add(int(part))
+    if any(p < 1 for p in out):
+        raise ValueError("pages are 1-based")
+    return sorted(out)
+
+
+def parse_axes_arg(arg: str) -> tuple[int, ...]:
+    """'1,3,5' -> (1,3,5) (cli.py:89-108)."""
+    axes = tuple(int(x) for x in arg.split(",") if x.strip())
+    if not axes or any(a < 1 for a in axes):
+        raise ValueError("axes must be positive ints")
+    return axes
+
+
+def _run_extract(spark: SparkSession, args) -> None:
+    docs = spark.read.parquet(args.input)
+    if args.state:
+        docs = pending_docs(docs, spark, args.state, "extract")
+    out = extract(docs)
+    out.write.mode("append").parquet(args.output)
+    if args.state:
+        commit_phase(spark.read.parquet(args.output).join(
+            docs.select("doc_id"), "doc_id", "left_semi"),
+            spark, args.state, "extract")
+
+
+def _run_levels(spark: SparkSession, args) -> None:
+    docs = spark.read.parquet(args.input)
+    reg = scan(docs)
+    if args.command in ("resolve", "verify"):
+        reg = resolve(docs, reg)
+    if args.command == "verify":
+        reg = verify(docs, reg, axes=parse_axes_arg(args.axes))
+    reg.write.mode("overwrite").parquet(args.registry)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vlm-ocr-doc-reader-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--state", default=None)
+
+    for name in ("scan", "resolve", "verify"):
+        ps = sub.add_parser(name)
+        ps.add_argument("--input", required=True)
+        ps.add_argument("--registry", required=True)
+        if name == "verify":
+            ps.add_argument("--axes", default="1,3,5")
+
+    args = p.parse_args(argv)
+    spark = get_spark(master=args.master)
+    try:
+        if args.command == "extract":
+            _run_extract(spark, args)
+        else:
+            _run_levels(spark, args)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

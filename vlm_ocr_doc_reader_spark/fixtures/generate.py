@@ -205,17 +205,32 @@ SPAN_ARROW_TYPE = pa.list_(pa.struct([
 ]))
 
 
-def write_documents_parquet(docs, path: str, row_group_docs: int = 2000) -> None:
-    """Write (doc_id, spans) to parquet with the judged input schema."""
+def write_documents_parquet(docs, path: str, row_group_docs: int = 2000,
+                            shards: int = 1) -> None:
+    """Write (doc_id, spans) to parquet with the judged input schema.
+
+    ``shards`` > 1 writes a directory of N files (round-robin by index, so
+    mega docs spread across shards) — a single monolithic file caps Spark's
+    scan parallelism at its row-group count."""
+    import os
     schema = pa.schema([("doc_id", pa.string()), ("spans", SPAN_ARROW_TYPE)])
-    writer = pq.ParquetWriter(path, schema)
-    try:
-        for lo in range(0, len(docs), row_group_docs):
-            chunk = docs[lo:lo + row_group_docs]
-            ids = [d for d, _ in chunk]
-            spans = [[{"kind": k, "text": t, "media_ref": m, "offset": o}
-                      for k, t, m, o in sp] for _, sp in chunk]
-            writer.write_table(pa.table({"doc_id": ids, "spans": spans},
-                                        schema=schema))
-    finally:
-        writer.close()
+
+    def dump(sub, fp):
+        writer = pq.ParquetWriter(fp, schema)
+        try:
+            for lo in range(0, len(sub), row_group_docs):
+                chunk = sub[lo:lo + row_group_docs]
+                ids = [d for d, _ in chunk]
+                spans = [[{"kind": k, "text": t, "media_ref": m, "offset": o}
+                          for k, t, m, o in sp] for _, sp in chunk]
+                writer.write_table(pa.table({"doc_id": ids, "spans": spans},
+                                            schema=schema))
+        finally:
+            writer.close()
+
+    if shards <= 1:
+        dump(docs, path)
+        return
+    os.makedirs(path, exist_ok=True)
+    for s in range(shards):
+        dump(docs[s::shards], os.path.join(path, f"part-{s:05d}.parquet"))

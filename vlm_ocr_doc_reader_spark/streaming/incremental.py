@@ -1,0 +1,51 @@
+"""Incremental / streaming execution of the extraction pipeline.
+
+The reference is a batch pipeline with resumable incremental state
+(SURVEY §2.9); its streaming-equivalent in Spark is Structured Streaming
+over the landing directory with ``foreachBatch``: each micro-batch runs the
+same deterministic ``extract`` plan, appends results, and commits the
+checkpoint manifest — so batch and streaming share one code path (T3:
+per-partition incremental save generalizes to per-micro-batch commit).
+
+``Trigger.AvailableNow`` makes this the exactly-once incremental-batch mode
+the reference's "do only what is not yet done" loop approximates
+(decision_001_resolution_levels.md:48): Spark's own streaming checkpoint
+tracks consumed files, our manifest tracks completed docs, and the anti-join
+guards against replays across the two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.extract import extract
+from ..state.manifest import commit_phase, pending_docs
+
+DOCS_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>")
+
+
+def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
+                    state_dir: str, checkpoint_dir: str,
+                    available_now: bool = True):
+    """Stream documents from ``input_dir`` through extraction into
+    ``output_dir`` with manifest commits per micro-batch.  Returns the
+    streaming query (already awaited when ``available_now``)."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        todo = pending_docs(batch, spark, state_dir, "extract")
+        out = extract(todo)
+        out.write.mode("append").parquet(output_dir)
+        commit_phase(out, spark, state_dir, "extract")
+
+    stream = (spark.readStream
+              .schema(DOCS_SCHEMA)
+              .parquet(input_dir))
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
