@@ -40,13 +40,13 @@ BENCH_QUERIES = [
 
 
 def corpus_path() -> str:
-    path = os.path.join(CACHE, f"bench_corpus_{N_DOCS}.parquet")
+    path = os.path.join(CACHE, f"bench_corpus_{N_DOCS}_s64")
     if not os.path.exists(path):
         os.makedirs(CACHE, exist_ok=True)
         from vlm_ocr_doc_reader_spark.fixtures.generate import (
             generate_documents, write_documents_parquet)
         docs = generate_documents(N_DOCS, seed=42, mega_spans=20000)
-        write_documents_parquet(docs, path)
+        write_documents_parquet(docs, path, shards=64)
     return path
 
 

@@ -7,53 +7,73 @@ new engine makes reading order explicit: layout (PDF-derived) documents carry
 bboxes and get recursive XY-cut ordering; everything else keeps input offset
 order.
 
+Plan shape (chosen after profiling — see BENCH.md history):
+  * non-layout docs (the overwhelming majority, incl. all mega docs) take
+    ``rank = offset`` with NO shuffle at all;
+  * the layout slice is isolated by a broadcast semi/anti join on the small
+    distinct layout-doc-id set (docs with any bbox span), then grouped
+    ``applyInPandas`` computes XY-cut *and returns the rows themselves* with
+    their rank — no join-back of ranks onto the wide table.
+
 XY-cut is per-document imperative logic — the one place we leave Catalyst.
-It runs as ``applyInPandas`` grouped by doc_id over ONLY the layout subset
-(filter pushed before the shuffle, so at 100 TB the grouped exchange carries
-just the small layout slice, not the whole corpus).  Layout docs are
-page-bounded (the reference renders pages, renderer.py:35-96), so a group is
-at most a few hundred rows — no skew risk; mega-docs are non-layout by
-construction and never enter this operator.
+Layout docs are page-bounded (the reference renders pages,
+renderer.py:35-96), so a group is at most a few hundred rows — no skew;
+mega-docs are non-layout by construction and never enter the UDF.  At a
+scale where the layout-id set outgrows the broadcast threshold, swap the
+hint for a shuffle semi-join — the structure is unchanged.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..extraction import spec
 
-_RANK_SCHEMA = "doc_id string, offset int, rank int"
+# columns flowing through the ordering stage (kept table projection)
+_THRU = ["doc_id", "kind", "cleaned", "media_ref", "offset", "anchors"]
+_RANKED_SCHEMA = ("doc_id string, kind string, cleaned string, "
+                  "media_ref string, offset int, anchors array<string>, "
+                  "rank int")
 
 
-def _xycut_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+def _xycut_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One layout document: XY-cut over bboxes -> rank column.
+
+    Mixed docs (some span lost its bbox) fall back to offset order, exactly
+    like ``oracle.extract_doc`` (layout iff ALL kept spans carry a bbox).
+    """
+    pdf = pdf.sort_values("offset").reset_index(drop=True)  # pin tie order
+    if pdf["bx0"].isna().any():
+        out = pdf[_THRU].copy()
+        out["rank"] = pdf["offset"].astype("int32")
+        return out
     boxes = list(zip(pdf["bx0"].astype(int), pdf["by0"].astype(int),
                      pdf["bx1"].astype(int), pdf["by1"].astype(int)))
     perm = spec.xy_cut_order(boxes)
-    out = pd.DataFrame({
-        "doc_id": pdf["doc_id"].iloc[:1].repeat(len(perm)).reset_index(drop=True),
-        "offset": pdf["offset"].iloc[perm].reset_index(drop=True),
-        "rank": range(len(perm)),
-    })
+    out = pdf.iloc[perm][_THRU].copy()
+    out["rank"] = range(len(perm))
     return out
 
 
 def assign_rank(kept: DataFrame) -> DataFrame:
-    """Add ``rank`` (reading order key) to the kept span table.
+    """Add ``rank`` (reading-order key) to the kept span table.
 
-    A doc is "layout" when ALL of its kept spans carry a bbox (mirrors
-    ``oracle.extract_doc``).  Non-layout rank = offset.
+    Input columns: _THRU + has_bbox + bx0..by1; output: _RANKED_SCHEMA.
     """
-    is_layout = (F.min(F.col("has_bbox").cast("int"))
-                  .over(Window.partitionBy("doc_id")) == 1)
-    df = kept.withColumn("is_layout", is_layout)
+    layout_ids = (kept.filter(F.col("has_bbox"))
+                  .select("doc_id").distinct())
 
-    layout = df.filter(F.col("is_layout")).select("doc_id", "offset",
-                                                  "bx0", "by0", "bx1", "by1")
-    ranks = layout.groupBy("doc_id").applyInPandas(
-        lambda pdf: _xycut_one_doc(pdf), schema=_RANK_SCHEMA)
+    non_layout = (kept.join(F.broadcast(layout_ids), "doc_id", "left_anti")
+                  .select(*_THRU,
+                          F.col("offset").cast("int").alias("rank")))
 
-    out = (df.join(ranks, ["doc_id", "offset"], "left")
-             .withColumn("rank", F.coalesce(F.col("rank"), F.col("offset"))))
-    return out
+    layout = kept.join(F.broadcast(layout_ids), "doc_id", "left_semi")
+    ranked_layout = (layout
+                     .select(*_THRU, "bx0", "by0", "bx1", "by1")
+                     .groupBy("doc_id")
+                     .applyInPandas(_xycut_rows, schema=_RANKED_SCHEMA))
+
+    return non_layout.select(*_THRU, "rank").unionByName(
+        ranked_layout.select(*_THRU, "rank"))
