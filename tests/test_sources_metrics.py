@@ -1,0 +1,59 @@
+"""Sources (enforced schema, quarantine, content hash) + A8 consistency."""
+
+import pyspark.sql.functions as F
+
+from vlm_ocr_doc_reader_spark.fixtures.generate import (
+    generate_documents, write_documents_parquet)
+from vlm_ocr_doc_reader_spark.operators.metrics import consistency_vs_baseline
+from vlm_ocr_doc_reader_spark.plans.extract import explode_spans
+from vlm_ocr_doc_reader_spark.sources.readers import (
+    DOCUMENTS_SCHEMA, quarantine_invalid_spans, read_documents,
+    register_memory_views, with_content_hash)
+
+
+def test_read_documents_enforced_schema(spark, tmp_path):
+    docs = generate_documents(10, seed=5, mega_spans=100, include_edge=False)
+    p = str(tmp_path / "d.parquet")
+    write_documents_parquet(docs, p)
+    df = read_documents(spark, p)
+    assert df.schema == DOCUMENTS_SCHEMA
+    assert df.count() == 10
+
+
+def test_quarantine_unknown_kinds(spark):
+    rows = [("d1", [("text", "Good sentence here today.", None, 0),
+                    ("blob", "???", None, 1),
+                    ("text", "x", None, None)])]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    good, bad = quarantine_invalid_spans(explode_spans(df))
+    assert good.count() == 1
+    assert bad.count() == 2
+
+
+def test_content_hash_changes_with_content(spark):
+    a = spark.createDataFrame(
+        [("d1", [("text", "v1", None, 0)])], DOCUMENTS_SCHEMA)
+    b = spark.createDataFrame(
+        [("d1", [("text", "v2", None, 0)])], DOCUMENTS_SCHEMA)
+    ha = with_content_hash(a).collect()[0]["content_hash"]
+    hb = with_content_hash(b).collect()[0]["content_hash"]
+    ha2 = with_content_hash(a).collect()[0]["content_hash"]
+    assert ha != hb and ha == ha2 and len(ha) == 64
+
+
+def test_memory_views(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    register_memory_views(spark, {"tiny": df})
+    assert spark.sql("SELECT sum(x) s FROM tiny").collect()[0]["s"] == 1
+
+
+def test_consistency_vs_baseline(spark):
+    base = spark.createDataFrame(
+        [("e1", "a"), ("e2", "b"), ("e3", None)],
+        "entity_id string, value string")
+    run = spark.createDataFrame(
+        [("e1", "a"), ("e2", "X"), ("e3", None), ("e4", "zzz")],
+        "entity_id string, value string")
+    r = consistency_vs_baseline(run, base, ["entity_id"]).collect()[0]
+    assert (r["n_total"], r["n_match"]) == (3, 2)
+    assert abs(r["consistency"] - 2 / 3) < 1e-6

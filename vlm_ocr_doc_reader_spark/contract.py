@@ -682,6 +682,53 @@ GROUP BY doc_id
 """
 
 
+def q_consistency(spark, sf_dir):
+    """A8: consistency vs baseline run (ocr_chunk_grid.py:138-146)."""
+    from .operators.metrics import consistency_vs_baseline
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("value"))
+    run = ev.filter(F.col("event_id") >= 10).groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("value"))
+    return consistency_vs_baseline(run, base, ["user_id"])
+
+
+ORACLE_CONSISTENCY = """
+WITH base AS (SELECT user_id, min_by(event_type, event_id) AS v
+              FROM events GROUP BY user_id),
+run AS (SELECT user_id, min_by(event_type, event_id) AS v
+        FROM events WHERE event_id >= 10 GROUP BY user_id),
+j AS (SELECT r.v AS rv, b.v AS bv FROM run r JOIN base b USING (user_id))
+SELECT count(*) AS n_total,
+       count(*) FILTER (WHERE rv = bv OR (rv IS NULL AND bv IS NULL))
+         AS n_match,
+       round(CAST(count(*) FILTER (WHERE rv = bv OR (rv IS NULL AND bv IS
+             NULL)) AS DOUBLE) / count(*), 6) AS consistency
+FROM j
+"""
+
+
+def q_fence_strip(spark, sf_dir):
+    """F1: JSON-fence stripping (scan.py:70-76)."""
+    from .functions.normalize import strip_json_fence_col
+    d = load(spark, sf_dir, "documents")
+    fenced = F.concat(F.lit("```json\n"), F.col("text"), F.lit("\n```"))
+    return d.select("doc_id",
+                    strip_json_fence_col(fenced).alias("inner_text"))
+
+
+ORACLE_FENCE = """
+SELECT doc_id,
+       CASE WHEN regexp_extract('```json' || chr(10) || text || chr(10) ||
+                 '```', '```(?:json)?\\s*([\\s\\S]*?)\\s*```', 1) <> ''
+            THEN regexp_extract('```json' || chr(10) || text || chr(10) ||
+                 '```', '```(?:json)?\\s*([\\s\\S]*?)\\s*```', 1)
+            ELSE trim('```json' || chr(10) || text || chr(10) || '```')
+       END AS inner_text
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle — covered by golden pytest instead)
 # ---------------------------------------------------------------------------
@@ -786,6 +833,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "consistency": q_consistency,
+    "fence_strip": q_fence_strip,
     # rows-only (no oracle):
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
@@ -824,4 +873,6 @@ ORACLES = {
     "lang_id": _oracle_lang_id(),
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
+    "consistency": ORACLE_CONSISTENCY,
+    "fence_strip": ORACLE_FENCE,
 }

@@ -36,11 +36,14 @@ def extract_flat(documents: DataFrame,
                  persist_intermediate: bool = True) -> DataFrame:
     """Flat judged output: (doc_id, kind, text, media_ref, order).
 
-    The ranked table is consumed by three reconcile branches (media,
-    non-media, claims); persisting it avoids re-running the regex-heavy
-    classify scan per branch (profiled 3x cost otherwise).  At cluster scale
-    the same role is played by a checkpoint/shuffle reuse; MEMORY_AND_DISK
-    keeps it safe when the slice outgrows executor memory.
+    The kept table is consumed by multiple downstream branches (layout-id
+    build, layout/non-layout rank split, then the media / non-media / claims
+    reconcile branches).  Without a persist each branch re-runs the
+    regex-heavy classify scan (profiled: rank stage 56s -> ~16s with the
+    cache at bench scale).  MEMORY_AND_DISK so an oversized slice spills; at
+    cluster scale the equivalent is a DFS checkpoint of the classified table
+    between the scan and reconcile phases — same DAG cut, durable instead of
+    executor-local.
     """
     spans = explode_spans(documents)
     classified = classify(spans)
@@ -49,10 +52,10 @@ def extract_flat(documents: DataFrame,
     kept = kept.withColumn(
         "media_ref",
         F.when(F.col("media_ref") == "", None).otherwise(F.col("media_ref")))
-    ranked = assign_rank(kept)
     if persist_intermediate:
         from pyspark import StorageLevel
-        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = assign_rank(kept)
     return reconcile_and_order(ranked)
 
 
