@@ -49,11 +49,22 @@ def parse_span_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def keep_expr(kind: Column, cleaned: Column, media_ref: Column) -> Column:
-    """Catalyst mirror of ``spec.classify_keep`` (parity-tested)."""
-    nwords = F.when(cleaned == "", F.lit(0)) \
-              .otherwise(F.size(F.split(cleaned, " ")))
+    """Catalyst mirror of ``spec.classify_keep`` (parity-tested).
+
+    ``cleaned`` is whitespace-collapsed and trimmed, so word count is
+    space-count + 1 and the nav patterns are plain literals — everything
+    here is length/replace/contains (no regex, no array allocation in the
+    hot path; profiled 10s -> ~1s at bench scale vs split()+rlike).
+    """
+    spaces = F.length(cleaned) - F.length(
+        F.replace(cleaned, F.lit(" "), F.lit("")))
+    nwords = F.when(cleaned == "", F.lit(0)).otherwise(spaces + 1)
     pipes = F.length(cleaned) - F.length(F.replace(cleaned, F.lit("|"), F.lit("")))
-    is_nav = F.lower(cleaned).rlike(spec.NAV_RE)
+    low = F.lower(cleaned)
+    is_nav = None
+    for pat in spec.NAV_PATTERNS:  # literal substring ORs == NAV_RE search
+        c = F.contains(low, F.lit(pat))
+        is_nav = c if is_nav is None else (is_nav | c)
     last = F.substring(cleaned, -1, 1)
     text_keep = (
         (cleaned != "")

@@ -1,0 +1,119 @@
+"""Fused per-document extraction stage (scale/throughput path).
+
+The declarative pipeline (`operators/ordering` + `reconcile` + `assemble`)
+expresses ordering/reconciliation as joins + windows — the canonical
+Catalyst-visible form.  Measured at bench scale its wall time is dominated by
+the multi-branch stage graph, not by compute.  Everything after
+classification is, however, *per-document* logic with tiny per-doc state —
+the textbook case for one grouped Arrow stage:
+
+    classified spans --(one shuffle by doc_id)--> applyInPandas(doc logic)
+
+The per-doc logic below reuses the exact shared rules (`spec.xy_cut_order`,
+claim semantics) and is covered by the same golden tests plus an
+equivalence test against the declarative path, so the two strategies cannot
+drift.  Mega docs (10^4-10^5 spans) are a single group here — acceptable
+because the per-doc work is O(n log n) and the group payload is bounded by
+the largest document, mirroring the reference's one-document-per-process
+model (core/reader.py:37-48); the salted declarative path remains available
+when single-doc payloads exceed worker memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..extraction import spec
+
+_OUT_SCHEMA = ("doc_id string, kind string, text string, media_ref string, "
+               "order int")
+
+
+def _extract_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One document's kept spans -> ordered output spans.
+
+    Input columns: doc_id, kind, cleaned, media_ref, offset, anchors,
+    bx0..by1 (nullable).  Mirrors oracle.extract_doc exactly from the
+    post-classification point on.
+    """
+    pdf = pdf.sort_values("offset").reset_index(drop=True)
+    n = len(pdf)
+    kinds = pdf["kind"].tolist()
+    offsets = pdf["offset"].tolist()
+    media_refs = pdf["media_ref"].tolist()
+    anchors = pdf["anchors"].tolist()
+
+    # reading rank: XY-cut when every span has a bbox, else offset
+    if n and pdf["bx0"].notna().all():
+        boxes = list(zip(pdf["bx0"].astype(int), pdf["by0"].astype(int),
+                         pdf["bx1"].astype(int), pdf["by1"].astype(int)))
+        perm = spec.xy_cut_order(boxes)
+        rank = [0] * n
+        for r, i in enumerate(perm):
+            rank[i] = r
+    else:
+        rank = offsets
+
+    media_first: dict = {}
+    for i in range(n):
+        if kinds[i] in ("image", "table") and media_refs[i] not in media_first:
+            media_first[media_refs[i]] = i
+    claims: dict = {}
+    for i in range(n):
+        if kinds[i] in ("image", "table"):
+            continue
+        for pos, ref in enumerate(anchors[i] if anchors[i] is not None else ()):
+            if ref in media_first:
+                cand = (rank[i], pos)
+                if ref not in claims or cand < claims[ref]:
+                    claims[ref] = cand
+
+    def key(i: int):
+        if kinds[i] in ("image", "table"):
+            c = claims.get(media_refs[i])
+            if c is not None and media_first[media_refs[i]] == i:
+                return (c[0], 1, c[1], offsets[i])
+        return (rank[i], 0, 0, offsets[i])
+
+    order = sorted(range(n), key=key)
+    out = pdf.iloc[order][["doc_id", "kind", "cleaned", "media_ref"]].copy()
+    out.columns = ["doc_id", "kind", "text", "media_ref"]
+    out["order"] = range(n)
+    return out
+
+
+_NESTED_SCHEMA = ("doc_id string, spans array<struct<kind:string,"
+                  "text:string,media_ref:string,order:int>>")
+
+
+def _extract_one_doc_nested(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _extract_one_doc(pdf)
+    spans = [{"kind": k, "text": t, "media_ref": m, "order": o}
+             for k, t, m, o in zip(out["kind"], out["text"],
+                                   out["media_ref"], out["order"])]
+    return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]],
+                         "spans": [spans]})
+
+
+def fused_extract_nested(kept: DataFrame) -> DataFrame:
+    """(classified kept spans) -> (doc_id, spans) in ONE grouped Arrow
+    stage — ordering, reconciliation, and assembly fused per document."""
+    cols = ["doc_id", "kind", "cleaned", "media_ref", "offset", "anchors",
+            "bx0", "by0", "bx1", "by1"]
+    return (kept.select(*cols)
+            .groupBy("doc_id")
+            .applyInPandas(_extract_one_doc_nested, schema=_NESTED_SCHEMA))
+
+
+def fused_reconcile_order(kept: DataFrame) -> DataFrame:
+    """(classified kept spans) -> flat ordered spans, one grouped Arrow
+    stage.  Columns consumed: doc_id, kind, cleaned, media_ref, offset,
+    anchors, bx0, by0, bx1, by1."""
+    cols = ["doc_id", "kind", "cleaned", "media_ref", "offset", "anchors",
+            "bx0", "by0", "bx1", "by1"]
+    return (kept.select(*cols)
+            .groupBy("doc_id")
+            .applyInPandas(_extract_one_doc, schema=_OUT_SCHEMA))

@@ -32,6 +32,23 @@ def explode_spans(documents: DataFrame) -> DataFrame:
                     F.col("s.offset").alias("offset")))
 
 
+def _kept_spans(documents: DataFrame) -> DataFrame:
+    spans = explode_spans(documents)
+    classified = classify(spans)
+    kept = classified.filter(F.col("keep"))
+    # normalize media_ref '' -> null so it can't differ from the oracle
+    return kept.withColumn(
+        "media_ref",
+        F.when(F.col("media_ref") == "", None).otherwise(F.col("media_ref")))
+
+
+def extract_flat_fused(documents: DataFrame) -> DataFrame:
+    """Flat judged output via the fused per-doc Arrow stage (one shuffle).
+    Same result as ``extract_flat`` — equivalence is enforced by tests."""
+    from ..operators.fused import fused_reconcile_order
+    return fused_reconcile_order(_kept_spans(documents))
+
+
 def extract_flat(documents: DataFrame,
                  persist_intermediate: bool = True) -> DataFrame:
     """Flat judged output: (doc_id, kind, text, media_ref, order).
@@ -45,13 +62,7 @@ def extract_flat(documents: DataFrame,
     between the scan and reconcile phases — same DAG cut, durable instead of
     executor-local.
     """
-    spans = explode_spans(documents)
-    classified = classify(spans)
-    kept = classified.filter(F.col("keep"))
-    # normalize media_ref '' -> null so it can't differ from the oracle
-    kept = kept.withColumn(
-        "media_ref",
-        F.when(F.col("media_ref") == "", None).otherwise(F.col("media_ref")))
+    kept = _kept_spans(documents)
     if persist_intermediate:
         from pyspark import StorageLevel
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
@@ -59,9 +70,19 @@ def extract_flat(documents: DataFrame,
     return reconcile_and_order(ranked)
 
 
-def extract(documents: DataFrame) -> DataFrame:
+def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
     """Nested judged output: (doc_id, spans array<struct<kind,text,media_ref,order>>),
-    one row per input doc (empty array when nothing survives)."""
-    flat = extract_flat(documents)
-    assembled = assemble_spans(flat)
+    one row per input doc (empty array when nothing survives).
+
+    strategy='fused' (default): classification in Catalyst, per-doc
+    ordering/reconciliation in one grouped Arrow stage — one shuffle total.
+    strategy='declarative': joins+windows end to end (salted assembly for
+    mega docs) — the fully Catalyst-visible plan.  Both produce identical
+    output (tests enforce it).
+    """
+    if strategy == "fused":
+        from ..operators.fused import fused_extract_nested
+        assembled = fused_extract_nested(_kept_spans(documents))
+    else:
+        assembled = assemble_spans(extract_flat(documents))
     return with_empty_docs(assembled, documents)
