@@ -50,15 +50,30 @@ def corpus_path() -> str:
     return path
 
 
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "8"))
+
+
 def run_extraction(master: str, path: str) -> tuple[float, int]:
-    """Run the full extraction pipeline; return (seconds, docs)."""
+    """Run the full extraction pipeline; return (seconds, docs).
+
+    The on-disk corpus is replicated REPLICAS x in-plan (distinct doc_id
+    prefixes) so the job is long enough for thread-count scaling to be
+    measurable above fixed JVM/scheduling overheads."""
     spark = get_spark(master=master, app_name=f"bench-{master}",
                       shuffle_partitions=max(
-                          8, 2 * int(master.split("[")[1].rstrip("]"))),
+                          16, 2 * int(master.split("[")[1].rstrip("]"))),
                       extra_conf={"spark.ui.enabled": "false"})
     try:
+        from pyspark.sql import functions as F
+
         from vlm_ocr_doc_reader_spark.plans.extract import extract
-        df = spark.read.parquet(path)
+        base = spark.read.parquet(path)
+        df = base.select(
+            F.concat(F.lit("r0_"), F.col("doc_id")).alias("doc_id"), "spans")
+        for i in range(1, REPLICAS):
+            df = df.unionByName(base.select(
+                F.concat(F.lit(f"r{i}_"), F.col("doc_id")).alias("doc_id"),
+                "spans"))
         n = df.count()
         t0 = time.time()
         extract(df).write.format("noop").mode("overwrite").save()

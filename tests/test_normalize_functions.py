@@ -20,7 +20,7 @@ from vlm_ocr_doc_reader_spark.functions.normalize import (
     ("I2S3B4", "125384"),
     ("77 04-123.456", "7704123456"),
     ("ИНН: 7704123456", "7704123456"),
-    ("no digits", ""),
+    ("xyz digits", ""),  # ('o'/'l'/'I'/'S'/'B' would transliterate)
 ])
 def test_digit_norm_spec(raw, expected):
     assert normalize_ocr_digits(raw) == expected
@@ -49,7 +49,7 @@ def test_vote_norm_idempotent(s):
 
 def test_digit_norm_column_parity(spark):
     raws = ["O0l1", "I2S3B4", "77 04-123.456", "ИНН: 7704123456",
-            "no digits", "", "OolISB"]
+            "no digits", "xyz", "", "OolISB"]
     df = spark.createDataFrame([(r,) for r in raws], "v string")
     got = [r["d"] for r in
            df.select(normalize_ocr_digits_col(F.col("v")).alias("d"))

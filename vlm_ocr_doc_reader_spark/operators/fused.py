@@ -89,6 +89,40 @@ _NESTED_SCHEMA = ("doc_id string, spans array<struct<kind:string,"
                   "text:string,media_ref:string,order:int>>")
 
 
+def _oracle_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One document's RAW spans -> (doc_id, spans) by running the shared
+    single-node extraction (`extraction.oracle.extract_doc`) on the group.
+    Zero-drift by construction: the distributed path and the golden oracle
+    are the same function."""
+    from ..extraction.oracle import extract_doc
+    pdf = pdf.sort_values("offset")
+    spans = list(zip(pdf["kind"].tolist(), pdf["text"].tolist(),
+                     pdf["media_ref"].tolist(), pdf["offset"].tolist()))
+    out = extract_doc(spans)
+    return pd.DataFrame({
+        "doc_id": [pdf["doc_id"].iloc[0]],
+        "spans": [[{"kind": k, "text": t, "media_ref": m, "order": o}
+                   for k, t, m, o in out]],
+    })
+
+
+def fused_extract_raw(raw_spans: DataFrame) -> DataFrame:
+    """(doc_id, kind, text, media_ref, offset) RAW -> (doc_id, spans).
+
+    The throughput plan: one cheap JVM projection+prefilter (boilerplate and
+    link kinds drop row-wise before the exchange — same outcome as the full
+    classifier for those kinds, so the shuffle only carries candidate
+    spans), ONE hash exchange on doc_id, one grouped Arrow stage running the
+    shared per-doc extraction.  Three stages total; all heavy work is in the
+    embarrassingly-parallel grouped stage, which is what scales linearly
+    with cores.
+    """
+    from pyspark.sql import functions as F
+    pruned = raw_spans.filter(~F.col("kind").isin("boilerplate", "link"))
+    return (pruned.groupBy("doc_id")
+            .applyInPandas(_oracle_one_doc, schema=_NESTED_SCHEMA))
+
+
 def _extract_one_doc_nested(pdf: pd.DataFrame) -> pd.DataFrame:
     out = _extract_one_doc(pdf)
     spans = [{"kind": k, "text": t, "media_ref": m, "order": o}

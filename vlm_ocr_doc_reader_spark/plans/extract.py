@@ -32,10 +32,23 @@ def explode_spans(documents: DataFrame) -> DataFrame:
                     F.col("s.offset").alias("offset")))
 
 
-def _kept_spans(documents: DataFrame) -> DataFrame:
-    spans = explode_spans(documents)
-    classified = classify(spans)
-    kept = classified.filter(F.col("keep"))
+def _kept_spans(documents: DataFrame,
+                persist_parsed: bool = True) -> DataFrame:
+    """Explode + parse + classify + keep-filter.
+
+    The parse chain (bbox/anchor regexes + whitespace collapse) feeds many
+    downstream references; Catalyst inlines it per reference and codegen's
+    subexpression elimination does not reach inside the keep CaseWhen
+    branches, so evaluating lazily costs ~6x (profiled 17s vs 2.6s at bench
+    scale).  Persisting the parsed projection pins single evaluation; on a
+    cluster the same cut is a checkpoint of the parsed table.
+    """
+    from ..operators.classify import classify
+    parsed = classify(explode_spans(documents))
+    if persist_parsed:
+        from pyspark import StorageLevel
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = parsed.filter(F.col("keep"))
     # normalize media_ref '' -> null so it can't differ from the oracle
     return kept.withColumn(
         "media_ref",
@@ -62,10 +75,7 @@ def extract_flat(documents: DataFrame,
     between the scan and reconcile phases — same DAG cut, durable instead of
     executor-local.
     """
-    kept = _kept_spans(documents)
-    if persist_intermediate:
-        from pyspark import StorageLevel
-        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = _kept_spans(documents, persist_parsed=persist_intermediate)
     ranked = assign_rank(kept)
     return reconcile_and_order(ranked)
 
@@ -81,8 +91,8 @@ def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
     output (tests enforce it).
     """
     if strategy == "fused":
-        from ..operators.fused import fused_extract_nested
-        assembled = fused_extract_nested(_kept_spans(documents))
+        from ..operators.fused import fused_extract_raw
+        assembled = fused_extract_raw(explode_spans(documents))
     else:
         assembled = assemble_spans(extract_flat(documents))
     return with_empty_docs(assembled, documents)

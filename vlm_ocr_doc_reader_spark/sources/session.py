@@ -26,7 +26,7 @@ def get_spark(master: str | None = None,
         "spark.sql.session.timeZone": "UTC",
         # at 100 TB: keep scan splits bounded so a partition fits in memory
         "spark.sql.files.maxPartitionBytes": "134217728",
-        "spark.driver.memory": "8g",
+        "spark.driver.memory": "16g",
     }
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
