@@ -42,6 +42,10 @@ def test_digit_norm_only_digits(s):
 @settings(max_examples=200, deadline=None)
 def test_vote_norm_idempotent(s):
     once = normalize_for_vote(s)
+    if once == "__NO_DATA__":
+        # the sentinel itself is not a fixed point (reference behavior:
+        # voting.py:30-41 lowercases any non-blank input)
+        return
     assert normalize_for_vote(once) == once
 
 

@@ -16,7 +16,7 @@ def test_read_documents_enforced_schema(spark, tmp_path):
     p = str(tmp_path / "d.parquet")
     write_documents_parquet(docs, p)
     df = read_documents(spark, p)
-    assert df.schema == DOCUMENTS_SCHEMA
+    assert df.schema.simpleString() == DOCUMENTS_SCHEMA.simpleString()
     assert df.count() == 10
 
 

@@ -106,6 +106,39 @@ def _oracle_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def fused_extract_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, spans) with ZERO shuffle.
+
+    The input table already co-locates each document's spans in one row —
+    the grouping the declarative path reconstructs with an exchange is free
+    here.  So the scale plan is a pure ``mapInPandas`` map: scan -> Arrow
+    batch -> per-doc shared extraction -> write.  Embarrassingly parallel,
+    no exchange, no skew (a mega doc is one row; Arrow batch size bounds
+    worker memory).  Rows map 1:1, so empty/all-boilerplate docs keep their
+    row with an empty spans array (the judged contract).
+    """
+    from ..extraction.oracle import extract_doc
+
+    def batches(it: "Iterable[pd.DataFrame]"):
+        for pdf in it:
+            out_spans = []
+            for spans in pdf["spans"]:
+                if spans is None:
+                    out_spans.append([])
+                    continue
+                lst = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans]
+                out = extract_doc(lst)
+                out_spans.append(
+                    [{"kind": k, "text": t, "media_ref": m, "order": o}
+                     for k, t, m, o in out])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "spans": out_spans})
+
+    return documents.select("doc_id", "spans").mapInPandas(
+        batches, schema=_NESTED_SCHEMA)
+
+
 def fused_extract_raw(raw_spans: DataFrame) -> DataFrame:
     """(doc_id, kind, text, media_ref, offset) RAW -> (doc_id, spans).
 

@@ -91,8 +91,9 @@ def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
     output (tests enforce it).
     """
     if strategy == "fused":
-        from ..operators.fused import fused_extract_raw
-        assembled = fused_extract_raw(explode_spans(documents))
-    else:
-        assembled = assemble_spans(extract_flat(documents))
+        # rows are whole documents -> zero-shuffle map; rows map 1:1 so no
+        # empty-doc repair join is needed either
+        from ..operators.fused import fused_extract_rows
+        return fused_extract_rows(documents)
+    assembled = assemble_spans(extract_flat(documents))
     return with_empty_docs(assembled, documents)
