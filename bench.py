@@ -90,10 +90,13 @@ def run_extraction(master: str, path: str) -> tuple[float, int]:
         from vlm_ocr_doc_reader_spark.plans.extract import extract
         df = spark.read.parquet(path)
         n = df.count()
-        t0 = time.time()
-        extract(df).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        return dt, n
+        best = None
+        for _ in range(2):  # two timed runs, take min (GC/JIT noise control)
+            t0 = time.time()
+            extract(df).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
     finally:
         spark.stop()
 

@@ -1,0 +1,66 @@
+"""Physical-plan shape checks: filters reach the parquet scan, projections
+prune columns, small dims broadcast — the plan properties that keep the
+engine viable at 100 TB (SURVEY §4)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")) \
+          .select("l_returnflag")
+    p = plan(q)
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = plan(q)
+    scan_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "l_returnflag" in scan_schema and "l_quantity" in scan_schema
+    assert "l_extendedprice" not in scan_schema  # untouched col not read
+
+
+def test_dim_join_broadcasts(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    q = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).groupBy(
+        "c_mktsegment").count()
+    p = plan(q)
+    assert "BroadcastHashJoin" in p
+
+
+def test_extract_fused_has_no_exchange(spark):
+    """The zero-shuffle claim, verified on the actual plan."""
+    from vlm_ocr_doc_reader_spark.fixtures.generate import (
+        generate_documents, write_documents_parquet)
+    from vlm_ocr_doc_reader_spark.plans.extract import extract
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p_ = os.path.join(d, "docs.parquet")
+    write_documents_parquet(generate_documents(5, seed=1, mega_spans=50,
+                                               include_edge=False), p_)
+    df = spark.read.parquet(p_)
+    p = plan(extract(df, strategy="fused"))
+    assert "Exchange" not in p
+    assert "FlatMapsInPandas" in p or "MapInPandas" in p
+
+
+def test_vote_partial_aggregation(spark):
+    """The vote agg must use hash aggregation (map-side partials)."""
+    from vlm_ocr_doc_reader_spark.operators.vote import majority_vote
+    s = spark.createDataFrame(
+        [("e", 0, "v", "c", "ok")],
+        "entity_id string, axis_idx int, value string, context string, status string")
+    p = plan(majority_vote(s))
+    assert "HashAggregate" in p

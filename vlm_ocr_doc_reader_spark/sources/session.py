@@ -22,7 +22,7 @@ def get_spark(master: str | None = None,
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
         "spark.sql.session.timeZone": "UTC",
         # at 100 TB: keep scan splits bounded so a partition fits in memory
         "spark.sql.files.maxPartitionBytes": "134217728",
