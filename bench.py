@@ -106,29 +106,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict = {}
 
-    # --- scaling evidence: same job, two parallelism levels (N and 4N) ---
-    lo_master, hi_master = f"local[{max(1, CPUS // 4)}]", f"local[{CPUS}]"
+    # --- scaling evidence: same job at N and 4N cores.  Each task uses
+    # ~2 cores (JVM scan/Arrow thread + Python worker), so on this
+    # 32-core box local[32] demands ~64 cores (oversubscribed 2x) while
+    # local[8] fits — comparing those two measures box saturation, not job
+    # scaling.  N=2 vs 4N=8 keeps BOTH levels unconstrained; the headline
+    # throughput is still measured at local[CPUS]. ---
+    n_lo = max(1, CPUS // 16)
+    n_hi = max(2, CPUS // 4)
+    lo_master, hi_master = f"local[{n_lo}]", f"local[{n_hi}]"
+    full_master = f"local[{CPUS}]"
     if DO_SCALING:
         rpath = replicated_path(path)
         t_lo, n_docs = run_extraction(lo_master, rpath)
         t_hi, _ = run_extraction(hi_master, rpath)
+        t_full, _ = run_extraction(full_master, rpath)
         thr_lo, thr_hi = n_docs / t_lo, n_docs / t_hi
-        eff = (thr_hi / thr_lo) / (CPUS / max(1, CPUS // 4))
+        eff = (thr_hi / thr_lo) / (n_hi / n_lo)
         extras["scaling"] = {
             "input_docs": n_docs,
             lo_master: {"sec": round(t_lo, 2),
                         "docs_per_sec": round(thr_lo, 1)},
             hi_master: {"sec": round(t_hi, 2),
                         "docs_per_sec": round(thr_hi, 1)},
+            full_master: {"sec": round(t_full, 2),
+                          "docs_per_sec": round(n_docs / t_full, 1)},
             "speedup": round(thr_hi / thr_lo, 3),
             "efficiency": round(eff, 3),
         }
-        timings["extract_corpus"] = round(t_hi, 3)
-        docs_per_sec = thr_hi
+        timings["extract_corpus"] = round(t_full, 3)
+        docs_per_sec = n_docs / t_full
     else:
-        t_hi, n_docs = run_extraction(hi_master, path)
-        timings["extract_corpus"] = round(t_hi, 3)
-        docs_per_sec = n_docs / t_hi
+        t_full, n_docs = run_extraction(full_master, path)
+        timings["extract_corpus"] = round(t_full, 3)
+        docs_per_sec = n_docs / t_full
     extras["docs_per_sec"] = round(docs_per_sec, 1)
 
     # --- contract queries at SF_DIR ---
