@@ -42,12 +42,16 @@ BENCH_QUERIES = [
 
 def corpus_path() -> str:
     path = os.path.join(CACHE, f"bench_corpus_{N_DOCS}_s64")
-    if not os.path.exists(path):
+    marker = os.path.join(path, ".complete")
+    if not os.path.exists(marker):  # atomic-ish: marker written last
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(CACHE, exist_ok=True)
         from vlm_ocr_doc_reader_spark.fixtures.generate import (
             generate_documents, write_documents_parquet)
         docs = generate_documents(N_DOCS, seed=42, mega_spans=20000)
         write_documents_parquet(docs, path, shards=64)
+        open(marker, "w").close()
     return path
 
 

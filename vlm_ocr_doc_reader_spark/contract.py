@@ -584,6 +584,25 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, blocked by id range)."""
+    from .datapipe.similarity import embedding_near_dups
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return embedding_near_dups(e, threshold=0.9)
+
+
+ORACLE_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 150 AND b.vec_id < 150
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
+
+
 def q_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return quality_features(d).select(
@@ -829,6 +848,7 @@ QUERIES = {
     "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "cosine_topk": q_cosine_topk,
+    "near_dup": q_near_dup,
     "quality": q_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
@@ -869,6 +889,7 @@ ORACLES = {
     "minhash_sig": ORACLE_MINHASH_SIG,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "near_dup": ORACLE_NEAR_DUP,
     "quality": ORACLE_QUALITY,
     "lang_id": _oracle_lang_id(),
     "token_counts": ORACLE_TOKEN_COUNTS,
