@@ -91,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
             ps.add_argument("--axes", default="1,3,5")
 
     args = p.parse_args(argv)
+    pre_existing = SparkSession.getActiveSession()
     spark = get_spark(master=args.master)
     try:
         if args.command == "extract":
@@ -98,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _run_levels(spark, args)
     finally:
-        spark.stop()
+        if pre_existing is None:  # don't stop a session we merely joined
+            spark.stop()
     return 0
 
 
