@@ -774,6 +774,17 @@ def q_extract_pipeline(spark, sf_dir):
     return extract(_derived_spans(spark, sf_dir))
 
 
+def q_extract_flat(spark, sf_dir):
+    """Declarative flat extraction over derived spans, with a full SQL
+    oracle (derived spans carry no bbox/media, so the whole declarative
+    path is SQL-expressible here)."""
+    from .plans.extract import extract_flat
+    out = extract_flat(_derived_spans(spark, sf_dir),
+                       persist_intermediate=False)
+    return out.select("doc_id", "kind", F.col("text").alias("span_text"),
+                      "media_ref", F.col("order").alias("ord"))
+
+
 def q_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash(d)
@@ -817,6 +828,32 @@ def q_media_features(spark, sf_dir):
     return extract_media_features(media)
 
 
+def oracle_extract_flat() -> str:
+    nav = spec.NAV_RE
+    return f"""
+WITH sp AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, i - 1 AS off,
+         trim(regexp_replace(parts[i], '\\s+', ' ', 'g')) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), kept AS (
+  SELECT * FROM sp
+  WHERE text <> ''
+    AND NOT regexp_matches(lower(text), '{nav}')
+    AND (length(text) - length(replace(text, '|', '')))
+        <= {spec.PIPE_RATIO} * len(string_split(text, ' '))
+    AND (len(string_split(text, ' ')) >= {spec.MIN_WORDS}
+         OR substr(text, length(text), 1) IN ('.', '!', '?'))
+)
+SELECT doc_id, 'text' AS kind, text AS span_text,
+       CAST(NULL AS VARCHAR) AS media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+            AS INTEGER) AS ord
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -855,6 +892,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "consistency": q_consistency,
     "fence_strip": q_fence_strip,
+    "extract_flat": q_extract_flat,
     # rows-only (no oracle):
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
@@ -896,4 +934,5 @@ ORACLES = {
     "fingerprint": ORACLE_FINGERPRINT,
     "consistency": ORACLE_CONSISTENCY,
     "fence_strip": ORACLE_FENCE,
+    "extract_flat": oracle_extract_flat(),
 }
