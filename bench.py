@@ -200,6 +200,12 @@ def _write_bench_md(r: dict) -> None:
         f"scaling efficiency: {s['efficiency']}** "
         f"(north rule target >= 0.8 at N -> 4N).",
         "",
+        "The N/4N pair uses core counts that leave the box unconstrained: "
+        "every Spark task here drives a JVM thread AND an Arrow Python "
+        "worker (~2 cores/task), so local[32] on a 32-core host is ~2x "
+        "oversubscribed — it measures saturation, not scaling, which is "
+        "why its throughput can sit below local[8]'s.",
+        "",
         "## Contract query timings (" + r["sf"] + ")",
         "",
         "| query | sec |", "|---|---|",
