@@ -701,6 +701,55 @@ GROUP BY doc_id
 """
 
 
+def q_header_parse(spark, sf_dir):
+    """F2/F3 (scan.py:79-123, full_description.py:304-346): JSON -> typed
+    struct via from_json, keep only headers with level+title+page, explode.
+    The JSON is synthesized from the part table (one valid + one invalid
+    header per row) so the validation filter has real work to do."""
+    p = load(spark, sf_dir, "part")
+    js = F.format_string(
+        '{"headers": [{"level": %d, "title": "%s", "page": %d}, '
+        '{"level": null, "title": "broken", "page": 1}]}',
+        (F.col("p_size") % 5 + 1).cast("int"), F.col("p_brand"),
+        (F.col("p_partkey") % 30 + 1).cast("int"))
+    schema = ("struct<headers:array<struct<level:int,title:string,"
+              "page:int>>>")
+    parsed = p.select("p_partkey", F.from_json(js, schema).alias("s"))
+    headers = parsed.select(
+        "p_partkey",
+        F.explode(F.filter(
+            F.col("s.headers"),
+            lambda h: h["level"].isNotNull() & h["title"].isNotNull()
+                      & h["page"].isNotNull())).alias("h"))
+    return headers.select("p_partkey",
+                          F.col("h.level").alias("level"),
+                          F.col("h.title").alias("title"),
+                          F.col("h.page").alias("page"))
+
+
+ORACLE_HEADER_PARSE = """
+WITH j AS (
+  SELECT p_partkey,
+         '{"headers": [{"level": ' || CAST(p_size % 5 + 1 AS VARCHAR) ||
+         ', "title": "' || p_brand || '", "page": ' ||
+         CAST(p_partkey % 30 + 1 AS VARCHAR) ||
+         '}, {"level": null, "title": "broken", "page": 1}]}' AS js
+  FROM part
+), h AS (
+  SELECT p_partkey,
+         TRY_CAST(json_extract(js, '$.headers[' || i || '].level')
+                  AS INTEGER) AS level,
+         json_extract_string(js, '$.headers[' || i || '].title') AS title,
+         TRY_CAST(json_extract(js, '$.headers[' || i || '].page')
+                  AS INTEGER) AS page
+  FROM j, LATERAL (SELECT unnest(generate_series(
+       0, CAST(json_array_length(js, '$.headers') AS INTEGER) - 1)) AS i) g
+)
+SELECT p_partkey, level, title, page FROM h
+WHERE level IS NOT NULL AND title IS NOT NULL AND page IS NOT NULL
+"""
+
+
 def q_consistency(spark, sf_dir):
     """A8: consistency vs baseline run (ocr_chunk_grid.py:138-146)."""
     from .operators.metrics import consistency_vs_baseline
@@ -893,6 +942,7 @@ QUERIES = {
     "consistency": q_consistency,
     "fence_strip": q_fence_strip,
     "extract_flat": q_extract_flat,
+    "header_parse": q_header_parse,
     # rows-only (no oracle):
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
@@ -935,4 +985,5 @@ ORACLES = {
     "consistency": ORACLE_CONSISTENCY,
     "fence_strip": ORACLE_FENCE,
     "extract_flat": oracle_extract_flat(),
+    "header_parse": ORACLE_HEADER_PARSE,
 }
