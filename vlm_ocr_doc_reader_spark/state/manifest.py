@@ -54,27 +54,59 @@ def read_manifest(spark: SparkSession, state_dir: str,
     return m
 
 
+def input_hash(documents: DataFrame) -> DataFrame:
+    """(doc_id, content_hash) of the INPUT spans — the document version
+    identity (T5: changed content = new identity, decision_001:149-156)."""
+    return documents.select(
+        "doc_id",
+        F.sha2(F.to_json(F.struct("doc_id", "spans")), 256)
+         .alias("content_hash"))
+
+
 def pending_docs(documents: DataFrame, spark: SparkSession, state_dir: str,
-                 phase: str) -> DataFrame:
-    """Input docs not yet completed for ``phase`` (left-anti join, J7)."""
+                 phase: str, by_version: bool = False) -> DataFrame:
+    """Input docs not yet completed for ``phase`` (left-anti join, J7).
+
+    ``by_version=True`` keys the check on (doc_id, content_hash of the input
+    spans): a document whose content changed since its manifest entry is
+    treated as new work — the reference's content-hash workspace identity
+    (core/state.py:225-241,283-298)."""
+    if by_version:
+        done = read_manifest(spark, state_dir, phase) \
+            .select("doc_id", "content_hash")
+        keyed = documents.join(input_hash(documents), "doc_id")
+        return keyed.join(done, ["doc_id", "content_hash"], "left_anti") \
+                    .drop("content_hash")
     done = read_manifest(spark, state_dir, phase).select("doc_id")
     return documents.join(done, "doc_id", "left_anti")
 
 
 def commit_phase(processed: DataFrame, spark: SparkSession, state_dir: str,
-                 phase: str) -> None:
+                 phase: str, input_docs: DataFrame | None = None) -> None:
     """Append (doc_id, phase, hash, n_spans, ts) for processed docs, plus a
     per-partition metrics row (docs/spans counts + commit timestamp) — the
     reference's incremental save (auto_save=True, core/processor.py:179-181)
-    generalized to partition granularity."""
-    entries = (processed
+    generalized to partition granularity.
+
+    ``input_docs`` (when given) supplies the version hash from the INPUT
+    spans so a later ``pending_docs(by_version=True)`` can detect changed
+    documents; without it the hash is of the processed row (sufficient for
+    doc_id-keyed resume)."""
+    if input_docs is not None:
+        hashes = input_hash(input_docs)
+        entries = (processed.select("doc_id").join(hashes, "doc_id"))
+    else:
+        entries = processed.select(
+            "doc_id",
+            F.sha2(F.to_json(F.struct("*")), 256).alias("content_hash"))
+    n_spans = (processed.select(
+        "doc_id", (F.size(F.col("spans")).cast("long")
+                   if "spans" in processed.columns
+                   else F.lit(0).cast("long")).alias("n_spans")))
+    entries = (entries.join(n_spans, "doc_id")
                .select("doc_id",
                        F.lit(phase).alias("phase"),
-                       F.sha2(F.to_json(F.struct("*")), 256)
-                        .alias("content_hash"),
-                       (F.size(F.col("spans")).cast("long")
-                        if "spans" in processed.columns
-                        else F.lit(0).cast("long")).alias("n_spans"),
+                       "content_hash", "n_spans",
                        F.current_timestamp().alias("ts")))
     entries.write.mode("append").parquet(manifest_path(state_dir))
 
