@@ -57,3 +57,18 @@ def test_consistency_vs_baseline(spark):
     r = consistency_vs_baseline(run, base, ["entity_id"]).collect()[0]
     assert (r["n_total"], r["n_match"]) == (3, 2)
     assert abs(r["consistency"] - 2 / 3) < 1e-6
+
+
+def test_malformed_spans_dropped_consistently(spark):
+    """Null offset/kind spans drop in BOTH strategies (defensive P5)."""
+    from vlm_ocr_doc_reader_spark.plans.extract import extract
+    rows = [("d1", [("text", "Good first sentence here today.", None, 0),
+                    ("text", "orphan offset", None, None),
+                    (None, "orphan kind", None, 1),
+                    ("text", "Good second sentence here today.", None, 2)])]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    for strat in ("fused", "declarative"):
+        out = {r["doc_id"]: [(s["text"], s["order"]) for s in r["spans"]]
+               for r in extract(df, strategy=strat).collect()}
+        assert out["d1"] == [("Good first sentence here today.", 0),
+                             ("Good second sentence here today.", 1)], strat

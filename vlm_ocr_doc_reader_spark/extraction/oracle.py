@@ -29,6 +29,9 @@ def extract_doc(spans: List[InSpan]) -> List[OutSpan]:
     # 1. parse + clean + classify
     kept = []  # dicts with kind, cleaned, media_ref, offset, bbox, anchors
     for kind, text, media_ref, offset in spans:
+        if offset is None or kind is None:
+            continue  # defensive quarantine (P5): malformed spans drop
+        offset = int(offset)
         bbox = spec.parse_bbox(text)
         wo_bbox = spec.strip_bbox(text)
         anchors = spec.extract_anchors(wo_bbox)

@@ -44,7 +44,9 @@ def _kept_spans(documents: DataFrame,
     cluster the same cut is a checkpoint of the parsed table.
     """
     from ..operators.classify import classify
-    parsed = classify(explode_spans(documents))
+    spans = explode_spans(documents).filter(
+        F.col("offset").isNotNull() & F.col("kind").isNotNull())
+    parsed = classify(spans)
     if persist_parsed:
         from pyspark import StorageLevel
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
