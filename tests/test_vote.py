@@ -38,7 +38,8 @@ def test_normalize_spec(raw, expected):
 def test_normalize_column_parity(spark):
     import pyspark.sql.functions as F
     raws = [None, "", "   ", "  ABC  ", "1\n2\t3   4", "7704-123-456",
-            "OOO Rosatom", "  Hello\tWorld  "]
+            "OOO Rosatom", "  Hello\tWorld  ", "\t", "\tX\n",
+            "\xa0nbsp kept\xa0"]  # \xa0: ASCII semantics on both sides
     df = spark.createDataFrame([(r,) for r in raws], "v string")
     got = [r["n"] for r in
            df.select(normalize_for_vote_col(F.col("v")).alias("n")).collect()]

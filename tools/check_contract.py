@@ -46,8 +46,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _kind(dt) -> str:
+    s = str(dt)
+    if "bool" in s:
+        return "bool"
+    if "int" in s.lower():
+        return "int"
+    if "float" in s:
+        return "float"
+    if "datetime" in s:
+        return "ts"
+    return "str"
+
+
 def compare(name: str, spark_df, duck_df) -> list[str]:
     issues = []
+    # dtype-category check BEFORE canonicalization (a strict driver may
+    # compare schemas); int/float blur from null-promotion is tolerated
+    for c in set(spark_df.columns) & set(duck_df.columns):
+        ka, kb = _kind(spark_df[c].dtype), _kind(duck_df[c].dtype)
+        if ka != kb and {ka, kb} != {"int", "float"}:
+            print(f"  WARN {name}.{c}: dtype kind spark={ka} duck={kb}")
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         issues.append(f"schema: spark={list(a.columns)} duck={list(b.columns)}")

@@ -277,8 +277,11 @@ WITH s AS (
          count(*) FILTER (WHERE status IN ('ok','no_data')) AS n_valid
   FROM s GROUP BY user_id
 ), valid AS (
-  SELECT *, CASE WHEN value IS NULL OR trim(value) = '' THEN '__NO_DATA__'
-            ELSE lower(regexp_replace(trim(value), '\\s+', ' ', 'g')) END AS norm
+  SELECT *, CASE WHEN value IS NULL
+                   OR trim(regexp_replace(value, '\\s+', ' ', 'g')) = ''
+            THEN '__NO_DATA__'
+            ELSE lower(trim(regexp_replace(value, '\\s+', ' ', 'g')))
+            END AS norm
   FROM s WHERE status IN ('ok','no_data')
 ), grp AS (
   SELECT user_id, norm, count(*) AS votes, min(axis_idx) AS first_pos,
@@ -328,8 +331,11 @@ def q_normalize_vote(spark, sf_dir):
 
 ORACLE_NORMALIZE = """
 SELECT doc_id,
-       CASE WHEN text IS NULL OR trim(text) = '' THEN '__NO_DATA__'
-            ELSE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) END AS norm
+       CASE WHEN text IS NULL
+              OR trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+            THEN '__NO_DATA__'
+            ELSE lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            END AS norm
 FROM documents
 """
 
@@ -529,7 +535,8 @@ def q_minhash_sig(spark, sf_dir):
 
 ORACLE_MINHASH_SIG = f"""
 WITH toks AS ({_DUCK_SHINGLES3.format(lim=20)})
-SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+SELECT id, CAST(seed AS INTEGER) AS seed,
+       min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
 FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
 GROUP BY id, seed
 """

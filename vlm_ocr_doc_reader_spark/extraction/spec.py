@@ -68,10 +68,19 @@ SALT_BUCKETS = 16
 
 NO_DATA_SENTINEL = "__NO_DATA__"  # voting.py:30-41 sentinel
 
-_bbox_c = re.compile(BBOX_RE)
-_anchor_c = re.compile(ANCHOR_RE)
-_nav_c = re.compile(NAV_RE)
-_ws_c = re.compile(r"\s+")
+# re.ASCII pins \d and \s to ASCII semantics — Java regex (the Catalyst
+# mirror) is ASCII-only for these classes by default, and the two sides must
+# agree byte-for-byte on inputs containing unicode digits/whitespace (\xa0,
+# arabic-indic digits, ...).
+_bbox_c = re.compile(BBOX_RE, re.ASCII)
+_anchor_c = re.compile(ANCHOR_RE, re.ASCII)
+_nav_c = re.compile(NAV_RE, re.ASCII)
+_ws_c = re.compile(r"\s+", re.ASCII)
+
+# after _ws_c collapse, any leading/trailing whitespace is one of these ASCII
+# chars — python str.strip() would ALSO strip unicode whitespace (\xa0) which
+# Spark's trim() does not, so strip the explicit ASCII set instead
+_ASCII_WS = " \t\n\r\f\v"
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +116,7 @@ def clean_text(text_wo_bbox: str) -> str:
     '\\s+', ' '))`` is exactly equivalent.
     """
     t = _anchor_c.sub(" ", text_wo_bbox)
-    return _ws_c.sub(" ", t).strip()
+    return _ws_c.sub(" ", t).strip(_ASCII_WS)
 
 
 # ---------------------------------------------------------------------------
@@ -201,9 +210,9 @@ def normalize_for_vote(value: Optional[str]) -> str:
     ``when(col.isNull() | (trim(col)==''), NO_DATA_SENTINEL)
       .otherwise(lower(regexp_replace(trim(col), '\\s+', ' ')))``.
     """
-    if value is None or value.strip() == "":
+    if value is None or value.strip(_ASCII_WS) == "":
         return NO_DATA_SENTINEL
-    return _ws_c.sub(" ", value.strip()).lower()
+    return _ws_c.sub(" ", value.strip(_ASCII_WS)).lower()
 
 
 _DIGIT_TRANS = str.maketrans({"O": "0", "o": "0", "l": "1", "I": "1",

@@ -36,10 +36,15 @@ from ..extraction import spec
 
 
 def normalize_for_vote_col(col: Column) -> Column:
-    """Column mirror of spec.normalize_for_vote (parity-tested)."""
-    return (F.when(col.isNull() | (F.trim(col) == ""),
-                   F.lit(spec.NO_DATA_SENTINEL))
-             .otherwise(F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))))
+    """Column mirror of spec.normalize_for_vote (parity-tested).
+
+    Collapse-then-trim: Spark's trim() strips spaces only, so whitespace is
+    first collapsed to single spaces (Java \\s is ASCII, matching the spec's
+    re.ASCII) — edge runs become ' ' and trim sees them."""
+    collapsed = F.regexp_replace(col, r"\s+", " ")
+    t = F.trim(collapsed)
+    return (F.when(col.isNull() | (t == ""), F.lit(spec.NO_DATA_SENTINEL))
+             .otherwise(F.lower(t)))
 
 
 def majority_vote(samples: DataFrame,
