@@ -193,7 +193,11 @@ def xy_cut_order(boxes: Sequence[Tuple[int, int, int, int]]) -> List[int]:
                 a = [i for i in ids if boxes[i][lo_c] < cut]
                 b = [i for i in ids if boxes[i][lo_c] >= cut]
                 if a and b:
-                    return solve(a, axis, depth + 1) + solve(b, axis, depth + 1)
+                    # alternate the preferred axis: a horizontal band cut is
+                    # followed by a vertical (column) cut inside each band,
+                    # giving newspaper (column-major) reading order
+                    return (solve(a, 1 - axis, depth + 1)
+                            + solve(b, 1 - axis, depth + 1))
         return sorted(ids, key=lambda i: (boxes[i][1], boxes[i][0], i))
 
     return solve(idx, 0, 0)
