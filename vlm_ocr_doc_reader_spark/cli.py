@@ -74,17 +74,20 @@ def _run_levels(spark: SparkSession, args) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="vlm-ocr-doc-reader-spark")
-    p.add_argument("--master", default=None)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--master", default=None)
+
+    p = argparse.ArgumentParser(prog="vlm-ocr-doc-reader-spark",
+                                parents=[common])
     sub = p.add_subparsers(dest="command", required=True)
 
-    pe = sub.add_parser("extract")
+    pe = sub.add_parser("extract", parents=[common])
     pe.add_argument("--input", required=True)
     pe.add_argument("--output", required=True)
     pe.add_argument("--state", default=None)
 
     for name in ("scan", "resolve", "verify"):
-        ps = sub.add_parser(name)
+        ps = sub.add_parser(name, parents=[common])
         ps.add_argument("--input", required=True)
         ps.add_argument("--registry", required=True)
         if name == "verify":
