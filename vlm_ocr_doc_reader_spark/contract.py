@@ -757,6 +757,22 @@ WHERE level IS NOT NULL AND title IS NOT NULL AND page IS NOT NULL
 """
 
 
+def q_sanitize(spark, sf_dir):
+    """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
+    from .functions.normalize import sanitize_filename_col
+    p = load(spark, sf_dir, "part")
+    raw = F.concat(F.lit('a/b:"c'), F.col("p_brand"), F.lit("*?<x>.txt|"))
+    return p.select("p_partkey", sanitize_filename_col(raw).alias("fname"))
+
+
+ORACLE_SANITIZE = """
+SELECT p_partkey,
+       regexp_replace('a/b:"c' || p_brand || '*?<x>.txt|',
+                      '[\\\\/:*?"<>|]', '_', 'g') AS fname
+FROM part
+"""
+
+
 def q_consistency(spark, sf_dir):
     """A8: consistency vs baseline run (ocr_chunk_grid.py:138-146)."""
     from .operators.metrics import consistency_vs_baseline
@@ -950,6 +966,7 @@ QUERIES = {
     "fence_strip": q_fence_strip,
     "extract_flat": q_extract_flat,
     "header_parse": q_header_parse,
+    "sanitize": q_sanitize,
     # rows-only (no oracle):
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
@@ -993,4 +1010,5 @@ ORACLES = {
     "fence_strip": ORACLE_FENCE,
     "extract_flat": oracle_extract_flat(),
     "header_parse": ORACLE_HEADER_PARSE,
+    "sanitize": ORACLE_SANITIZE,
 }
