@@ -757,6 +757,26 @@ WHERE level IS NOT NULL AND title IS NOT NULL AND page IS NOT NULL
 """
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window agg (streaming shape, batch semantics —
+    Spark's unified model makes them identical; the streaming run is
+    covered by tests/test_streaming_windowed_bucketing.py)."""
+    from .streaming.windowed import windowed_event_counts
+    ev = load(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window_len="1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type", "n_events", "sum_value")
+
+
+ORACLE_WINDOWED = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_sanitize(spark, sf_dir):
     """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
     from .functions.normalize import sanitize_filename_col
@@ -967,6 +987,7 @@ QUERIES = {
     "extract_flat": q_extract_flat,
     "header_parse": q_header_parse,
     "sanitize": q_sanitize,
+    "windowed_counts": q_windowed_counts,
     # rows-only (no oracle):
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
@@ -1011,4 +1032,5 @@ ORACLES = {
     "extract_flat": oracle_extract_flat(),
     "header_parse": ORACLE_HEADER_PARSE,
     "sanitize": ORACLE_SANITIZE,
+    "windowed_counts": ORACLE_WINDOWED,
 }
