@@ -119,3 +119,23 @@ def test_multimodal_stub_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"x")
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import pyspark.sql.functions as F
+    import random
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    from vlm_ocr_doc_reader_spark.datapipe.similarity import (brute_force_topk,
+                                                              ivf_topk)
+    q = emb.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qvec"))
+    exact = {(r["qid"], r["rank"]): r["nbr_id"]
+             for r in brute_force_topk(emb, q, k=1).collect()}
+    approx = {(r["qid"], r["rank"]): r["nbr_id"]
+              for r in ivf_topk(emb, n_centroids=8, n_probe=4, k=1).collect()}
+    hits = sum(approx.get(k_) == v for k_, v in exact.items())
+    recall = hits / len(exact)
+    assert recall >= 0.5, recall  # probing half the cells on gaussian data
+    assert len(approx) == 120

@@ -89,6 +89,53 @@ def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 5,
                     F.round("cosine", 6).alias("cosine")))
 
 
+def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
+             k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroids (the first
+    ``n_centroids`` vectors by id — a seeded sample at scale), every vector
+    assigned to its nearest centroid (one broadcast pass), queries probe the
+    ``n_probe`` nearest cells and re-rank exactly within them.
+
+    Scale shape: centroid assignment is a narrow map over a broadcast
+    centroid table; the candidate join shuffles on the small cell id — the
+    cross product never materializes.  Output: (qid, nbr_id, rank, cosine).
+    """
+    cents = (emb.orderBy(id_col).limit(n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("cvec")))
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    scored_cells = (e.join(F.broadcast(cents))
+                    .withColumn("cos", (_dot(
+                        F.transform(F.col("v"), lambda x: x.cast("double")),
+                        F.transform(F.col("cvec"), lambda x: x.cast("double")))
+                        / (_norm2(F.transform(F.col("v"),
+                                              lambda x: x.cast("double")))
+                           * _norm2(F.transform(F.col("cvec"),
+                                                lambda x: x.cast("double"))))))
+                    .select("id", "v", "cid", "cos"))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(w))
+
+    # data side: each vector lives in its single nearest cell
+    assign = ranked_cells.filter(F.col("crank") == 1) \
+        .select("id", "v", "cid")
+    # query side: probe the n_probe nearest cells
+    probes = ranked_cells.filter(F.col("crank") <= n_probe) \
+        .select(F.col("id").alias("qid"), F.col("v").alias("va"), "cid")
+
+    cand = (probes.join(assign.select(F.col("id").alias("nbr_id"),
+                                      F.col("v").alias("vb"), "cid"), "cid")
+            .filter(F.col("qid") != F.col("nbr_id")))
+    scored = with_cosine(cand)
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
