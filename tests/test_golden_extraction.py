@@ -74,3 +74,19 @@ def test_mega_doc_salting_path(spark, corpus):
     a = {r["doc_id"]: r["spans"] for r in salted.collect()}
     b = {r["doc_id"]: r["spans"] for r in normal.collect()}
     assert a == b
+
+
+def test_single_100k_span_mega_doc(spark, tmp_path):
+    """One document at the 10^5-span ceiling must flow through the fused
+    path (one Arrow row) without memory incident and match the oracle."""
+    docs = generate_documents(1, seed=13, mega_spans=100_000,
+                              include_edge=False)
+    p = str(tmp_path / "mega.parquet")
+    write_documents_parquet(docs, p)
+    out = extract(spark.read.parquet(p)).collect()
+    assert len(out) == 1
+    golden = extract_doc(docs[0][1])
+    got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+           for s in out[0]["spans"]]
+    assert got == [tuple(s) for s in golden]
+    assert len(got) > 50_000
