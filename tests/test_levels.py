@@ -114,3 +114,15 @@ def test_validate_entries_quarantine(spark):
     good, quarantine = validate_entries(raw)
     assert {r["entity_id"] for r in good.collect()} == {"e1"}
     assert {r["entity_id"] for r in quarantine.collect()} == {"e2", "e3", "e4"}
+
+
+def test_resolve_page_filter(docs_df):
+    """P3: --pages restricts resolve to those pages; others stay pending."""
+    reg = scan(docs_df)
+    reg1 = resolve(docs_df, reg, pages=[1])
+    d = {r["page_num"]: r["resolution"]
+         for r in reg1.filter(F.col("doc_id") == "doc_digits").collect()}
+    assert d[1] == 1          # page 1 resolved
+    assert d[2] == 0          # page 2 untouched, still pending
+    left = pending_entities(reg1).filter(F.col("doc_id") == "doc_digits")
+    assert left.count() == 2

@@ -65,11 +65,13 @@ def _run_extract(spark: SparkSession, args) -> None:
 
 def _run_levels(spark: SparkSession, args) -> None:
     docs = spark.read.parquet(args.input)
+    pages = parse_pages_arg(args.pages) if getattr(args, "pages", None) \
+        else None
     reg = scan(docs)
     if args.command in ("resolve", "verify"):
-        reg = resolve(docs, reg)
+        reg = resolve(docs, reg, pages=pages)
     if args.command == "verify":
-        reg = verify(docs, reg, axes=parse_axes_arg(args.axes))
+        reg = verify(docs, reg, axes=parse_axes_arg(args.axes), pages=pages)
     reg.write.mode("overwrite").parquet(args.registry)
 
 
@@ -90,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
         ps = sub.add_parser(name, parents=[common])
         ps.add_argument("--input", required=True)
         ps.add_argument("--registry", required=True)
+        if name != "scan":
+            ps.add_argument("--pages", default=None,
+                            help="e.g. '1,2,5-7' (cli.py:47-86 semantics)")
         if name == "verify":
             ps.add_argument("--axes", default="1,3,5")
 

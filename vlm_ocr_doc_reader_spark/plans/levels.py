@@ -105,19 +105,29 @@ def _ocr_pass(documents: DataFrame, targets: DataFrame) -> DataFrame:
          .otherwise(F.lit("ok")).alias("status"))
 
 
-def resolve(documents: DataFrame, registry: DataFrame) -> DataFrame:
-    """L1: resolve pending entities; returns the upserted registry."""
+def resolve(documents: DataFrame, registry: DataFrame,
+            pages: list[int] | None = None) -> DataFrame:
+    """L1: resolve pending entities; returns the upserted registry.
+
+    ``pages`` restricts work to those page numbers (P3,
+    core/reader.py:267-268)."""
     pending = _with_run_idx(pending_entities(registry))
+    if pages:
+        pending = pending.filter(F.col("page_num").isin(pages))
     results = _ocr_pass(documents, pending)
     updated = apply_ocr_result(pending.drop("run_idx"), results, resolution=1)
     return upsert_entries(registry, updated)
 
 
 def verify(documents: DataFrame, registry: DataFrame,
-           axes: tuple[int, ...] = (1, 3, 5)) -> DataFrame:
+           axes: tuple[int, ...] = (1, 3, 5),
+           pages: list[int] | None = None) -> DataFrame:
     """L2: N independent passes (J5 unionByName + axis tag) -> majority vote
-    (A2) -> resolution=2 rewrite (P8) guarded by the all-errors filter (P9)."""
+    (A2) -> resolution=2 rewrite (P8) guarded by the all-errors filter (P9).
+    ``pages`` restricts verify targets (P4, core/reader.py:465-466)."""
     targets = _with_run_idx(registry)
+    if pages:
+        targets = targets.filter(F.col("page_num").isin(pages))
     samples = None
     for axis_idx, _axis in enumerate(axes):
         s = (_ocr_pass(documents, targets)
