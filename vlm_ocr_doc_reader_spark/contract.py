@@ -903,6 +903,25 @@ def q_levels_verify(spark, sf_dir):
     return verify(docs, resolve(docs, scan(docs)), axes=(1, 3))
 
 
+def q_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (scale path; exactness covered by cosine_topk's
+    oracle + test_datapipe recall checks)."""
+    from .datapipe.similarity import lsh_topk
+    import numpy as np
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = np.random.default_rng(7).normal(size=(6, dim)).tolist()
+    return lsh_topk(e, planes, k=3)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN with n_probe re-rank (rows-only; recall vs brute force
+    asserted in test_datapipe)."""
+    from .datapipe.similarity import ivf_topk
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, n_centroids=16, n_probe=4, k=3)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: documents' text bytes as fake payloads."""
     from .datapipe.multimodal import extract_media_features
@@ -993,6 +1012,8 @@ QUERIES = {
     "simhash": q_simhash,
     "levels_verify": q_levels_verify,
     "media_features": q_media_features,
+    "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES = {
