@@ -1,0 +1,36 @@
+"""Explicit skew-join salting (SURVEY §4.3 / north rule "skew handled
+explicitly").
+
+AQE's skew-join splitting handles most cases at runtime
+(spark.sql.adaptive.skewJoin.enabled, on by default in our sessions); this
+utility is for the case AQE cannot fix: a broadcast-ineligible join where ONE
+hot key dominates a partition beyond what post-shuffle splitting amortizes,
+or a grouped aggregation (AQE never splits a single group — the same reason
+``operators/assemble.py`` salts mega-document assembly).
+
+Pattern: replicate the small side R times with an explicit salt column,
+scatter the big side's rows uniformly over the same salt range, join on
+(key, salt).  Results are identical to the unsalted join (tested), with the
+hot key's rows spread over R tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Join ``big`` (skewed on ``key``) with ``small`` on ``key`` using an
+    explicit salt.  ``small`` is replicated n_salts times — keep it small
+    relative to the cluster; the big side gets a uniform random-ish salt
+    derived from stable row content (no rand(): determinism matters for
+    retries and for our reproducibility contract)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(n_salts)).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = (small.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))))
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
