@@ -86,8 +86,11 @@ def test_lsh_topk_agrees_on_top1(spark, emb):
 
 
 def test_embedding_near_dups(emb):
+    # the exact all-pairs path needs an explicit opt-in (scale footgun guard)
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, threshold=0.95)
     got = {(r["id_a"], r["id_b"]) for r in
-           embedding_near_dups(emb, threshold=0.95).collect()}
+           embedding_near_dups(emb, threshold=0.95, exact=True).collect()}
     assert got == {(0, 1), (2, 3)}
 
 

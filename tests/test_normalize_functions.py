@@ -20,10 +20,18 @@ from vlm_ocr_doc_reader_spark.functions.normalize import (
     ("I2S3B4", "125384"),
     ("77 04-123.456", "7704123456"),
     ("ИНН: 7704123456", "7704123456"),
-    ("xyz digits", ""),  # ('o'/'l'/'I'/'S'/'B' would transliterate)
+    ("xyz digits", None),  # no digits left -> None (normalization.py:72)
 ])
 def test_digit_norm_spec(raw, expected):
     assert normalize_ocr_digits(raw) == expected
+
+
+def test_digit_norm_none_contract():
+    """Reference None contract (utils/normalization.py:31-36)."""
+    assert normalize_ocr_digits(None) is None
+    assert normalize_ocr_digits("") is None
+    # no digits and no transliterable chars (o->0 etc.) -> None
+    assert normalize_ocr_digits("xyz && abc") is None
 
 
 def test_digit_norm_length_gate():
@@ -35,7 +43,7 @@ def test_digit_norm_length_gate():
 @settings(max_examples=200, deadline=None)
 def test_digit_norm_only_digits(s):
     out = normalize_ocr_digits(s)
-    assert out == "" or out.isdigit()
+    assert out is None or (out != "" and out.isdigit())
 
 
 @given(st.text(max_size=40))

@@ -64,15 +64,25 @@ def _run_extract(spark: SparkSession, args) -> None:
 
 
 def _run_levels(spark: SparkSession, args) -> None:
+    from pyspark import StorageLevel
+
+    from .plans.levels import kept_text_spans
     docs = spark.read.parquet(args.input)
     pages = parse_pages_arg(args.pages) if getattr(args, "pages", None) \
         else None
-    reg = scan(docs)
-    if args.command in ("resolve", "verify"):
-        reg = resolve(docs, reg, pages=pages)
-    if args.command == "verify":
-        reg = verify(docs, reg, axes=parse_axes_arg(args.axes), pages=pages)
-    reg.write.mode("overwrite").parquet(args.registry)
+    # classify the corpus ONCE for the whole chain (scan/resolve/verify all
+    # consume the same kept-text frame); MEMORY_AND_DISK so big slices spill
+    kept = kept_text_spans(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        reg = scan(docs, kept=kept)
+        if args.command in ("resolve", "verify"):
+            reg = resolve(docs, reg, pages=pages, kept=kept)
+        if args.command == "verify":
+            reg = verify(docs, reg, axes=parse_axes_arg(args.axes),
+                         pages=pages, kept=kept)
+        reg.write.mode("overwrite").parquet(args.registry)
+    finally:
+        kept.unpersist()
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -44,8 +44,11 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), r"\. ")).alias("offset", "raw")))
     cleaned = F.trim(F.regexp_replace(F.col("raw"), r"\s+", " "))
+    # kind as a real column (not F.lit) so keep_expr's `kind == "text"`
+    # doesn't degenerate into a trivially-true literal comparison (warning)
     kept = (spans.withColumn("text", cleaned)
-            .withColumn("keep", keep_expr(F.lit("text"), F.col("text"),
+            .withColumn("kind", F.lit("text").cast("string"))
+            .withColumn("keep", keep_expr(F.col("kind"), F.col("text"),
                                           F.lit(None).cast("string")))
             .filter(F.col("keep")))
     w = Window.partitionBy("doc_id").orderBy("offset")
@@ -351,10 +354,10 @@ def q_digit_norm(spark, sf_dir):
 
 ORACLE_DIGIT_NORM = """
 SELECT event_id,
-       regexp_replace(translate('Id-' || props || '-OlS' ||
-                                CAST(user_id AS VARCHAR),
-                                'OolISB', '001158'),
-                      '[^0-9]', '', 'g') AS digits
+       NULLIF(regexp_replace(translate('Id-' || props || '-OlS' ||
+                                       CAST(user_id AS VARCHAR),
+                                       'OolISB', '001158'),
+                             '[^0-9]', '', 'g'), '') AS digits
 FROM events
 """
 
@@ -592,10 +595,12 @@ FROM ranked WHERE rank <= 3
 
 
 def q_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact, blocked by id range)."""
+    """Embedding-cosine near-duplicate pairs: the EXACT verification mode
+    (explicit exact=True opt-in, blocked by id range); the scale path is the
+    separate `near_dup_lsh` entry."""
     from .datapipe.similarity import embedding_near_dups
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    return embedding_near_dups(e, threshold=0.9)
+    return embedding_near_dups(e, threshold=0.35, exact=True)
 
 
 ORACLE_NEAR_DUP = """
@@ -606,7 +611,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 150 AND b.vec_id < 150
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
 """
 
 
@@ -841,7 +846,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle — covered by golden pytest instead)
+# Formerly rows-only queries — now each with an exact DuckDB oracle
 # ---------------------------------------------------------------------------
 
 def _derived_spans(spark, sf_dir):
@@ -860,10 +865,18 @@ def _derived_spans(spark, sf_dir):
 
 
 def q_extract_pipeline(spark, sf_dir):
-    """Full nested extraction pipeline (classify+order+assemble) — golden
-    pytest asserts oracle equality; here rows-only."""
+    """Full nested extraction pipeline (default fused strategy:
+    classify+order+assemble in one Arrow stage), flattened via posexplode so
+    the gate canonicalizer can hash it; oracle = the same extract_flat SQL
+    (empty docs contribute zero exploded rows on both sides)."""
     from .plans.extract import extract
-    return extract(_derived_spans(spark, sf_dir))
+    out = extract(_derived_spans(spark, sf_dir))
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("span_text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.order").alias("ord")))
 
 
 def q_extract_flat(spark, sf_dir):
@@ -880,6 +893,29 @@ def q_extract_flat(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash(d)
+
+
+def _oracle_simhash(bits: int = 32, lim: int = 100) -> str:
+    """DuckDB twin of datapipe.dedup.simhash: md5-prefix token hash, ±1 bit
+    sums, majority fingerprint.  Hex parse via CAST('0x..' AS BIGINT)."""
+    hexpr = f"CAST('0x' || substr(md5(token), 1, {bits // 4}) AS BIGINT)"
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (hx >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS t
+    FROM documents WHERE doc_id < {lim}) WHERE t <> ''
+), hashed AS (SELECT id, {hexpr} AS hx FROM toks),
+sums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
+SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
 
 
 def q_levels_verify(spark, sf_dir):
@@ -903,23 +939,212 @@ def q_levels_verify(spark, sf_dir):
     return verify(docs, resolve(docs, scan(docs)), axes=(1, 3))
 
 
-def q_lsh_topk(spark, sf_dir):
-    """SRP-LSH bucketed ANN (scale path; exactness covered by cosine_topk's
-    oracle + test_datapipe recall checks)."""
-    from .datapipe.similarity import lsh_topk
+def _oracle_levels_verify(lim: int = 200, n_axes: int = 2) -> str:
+    """DuckDB mirror of scan->resolve->verify over the derived spans.
+
+    The engine is deterministic, so verify's majority vote is unanimous:
+    the final registry is the scan registry with resolution=2,
+    value = the digit run itself (normalize_ocr_digits of \\d{6,} is
+    identity), context = substr(cleaned span, 1, 64), verified = true,
+    confidence = 'N/N' — the vote operator's full tie/error semantics are
+    separately gated by the `vote` entry and the ported unit suite.
+    """
+    nav = spec.NAV_RE
+    return f"""
+WITH base AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' contract number ' ||
+         CAST(doc_id + 7700000000 AS VARCHAR) || ' filed.' AS text
+  FROM documents WHERE doc_id < {lim}
+), sp AS (
+  SELECT doc_id, i - 1 AS off,
+         trim(regexp_replace(parts[i], '\\s+', ' ', 'g')) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM base) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), kept AS (
+  SELECT * FROM sp
+  WHERE text <> ''
+    AND NOT regexp_matches(lower(text), '{nav}')
+    AND (length(text) - length(replace(text, '|', '')))
+        <= {spec.PIPE_RATIO} * len(string_split(text, ' '))
+    AND (len(string_split(text, ' ')) >= {spec.MIN_WORDS}
+         OR substr(text, length(text), 1) IN ('.', '!', '?'))
+), runs AS (
+  SELECT doc_id, CAST(off + 1 AS INTEGER) AS page_num,
+         CAST(i - 1 AS INTEGER) AS run_idx, arr[i] AS raw,
+         substr(text, 1, 64) AS context
+  FROM (SELECT doc_id, off, text,
+               regexp_extract_all(text, '\\d{{6,}}') AS arr FROM kept) r,
+       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+), reg AS (
+  SELECT doc_id, page_num,
+         printf('digits run %d on page %d', run_idx, page_num) AS prompt,
+         raw, context
+  FROM runs
+)
+SELECT doc_id, page_num,
+       'scan_' || CAST(page_num AS VARCHAR) || '_' ||
+       substr(sha256(prompt), 1, 8) AS entity_id,
+       prompt, CAST(2 AS INTEGER) AS resolution, raw AS value, context,
+       CAST(TRUE AS BOOLEAN) AS verified,
+       '{n_axes}/{n_axes}' AS confidence
+FROM reg
+"""
+
+
+# The driver's embeddings tables are 64-dim at every sf tier; the SRP planes
+# are module-level so the DuckDB oracle can embed the same literals.
+EMB_DIM = 64
+
+
+def _srp_planes(seed: int, n_planes: int) -> list[list[float]]:
     import numpy as np
+    return np.random.default_rng(seed).normal(
+        size=(n_planes, EMB_DIM)).tolist()
+
+
+_PLANES_LSH = _srp_planes(7, 6)
+_PLANES_NEARDUP = _srp_planes(11, 8)
+
+
+def _duck_bucket(planes: list[list[float]], vec: str = "v") -> str:
+    """DuckDB twin of similarity.srp_buckets: bit p = (v . plane_p) >= 0."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        bits.append(f"(CASE WHEN list_inner_product({vec}, {lit}) >= 0 "
+                    f"THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def q_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (scale path) with an exact DuckDB oracle over
+    the same seeded hyperplanes."""
+    from .datapipe.similarity import lsh_topk
     e = load(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    planes = np.random.default_rng(7).normal(size=(6, dim)).tolist()
-    return lsh_topk(e, planes, k=3)
+    return lsh_topk(e, _PLANES_LSH, k=3)
+
+
+def _oracle_lsh_topk(k: int = 3) -> str:
+    bucket = _duck_bucket(_PLANES_LSH)
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+b AS (SELECT id, v, {bucket} AS bucket FROM e),
+cand AS (
+  SELECT a.id AS qid, c.id AS nbr_id,
+         list_cosine_similarity(a.v, c.v) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand
+)
+SELECT qid, nbr_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-cell ANN with n_probe re-rank (rows-only; recall vs brute force
-    asserted in test_datapipe)."""
+    """IVF-cell ANN with n_probe re-rank; deterministic md5-seeded centroid
+    sample makes the whole operator SQL-expressible."""
     from .datapipe.similarity import ivf_topk
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e, n_centroids=16, n_probe=4, k=3)
+
+
+def _oracle_ivf_topk(n_centroids: int = 16, n_probe: int = 4,
+                     k: int = 3) -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (SELECT id AS cid, v AS cvec FROM e
+          ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_centroids}),
+scored AS (
+  SELECT e.id, e.v, c.cid, list_cosine_similarity(e.v, c.cvec) AS ccos
+  FROM e CROSS JOIN cents c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY ccos DESC, cid ASC) AS crank FROM scored
+), assign AS (SELECT id, v, cid FROM ranked WHERE crank = 1),
+probes AS (SELECT id AS qid, v AS va, cid FROM ranked
+           WHERE crank <= {n_probe}),
+cand AS (
+  SELECT p.qid, a.id AS nbr_id, list_cosine_similarity(p.va, a.v) AS cos
+  FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.id
+), rr AS (
+  SELECT qid, nbr_id, cos, row_number() OVER (PARTITION BY qid
+         ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand
+)
+SELECT qid, nbr_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM rr WHERE rank <= {k}
+"""
+
+
+def q_near_dup_lsh(spark, sf_dir):
+    """SRP-bucketed near-duplicate pairs — the 100-TB default path of
+    embedding_near_dups, gated exactly via the seeded planes."""
+    from .datapipe.similarity import embedding_near_dups
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.3, planes=_PLANES_NEARDUP)
+
+
+def _oracle_near_dup_lsh(threshold: float = 0.3) -> str:
+    bucket = _duck_bucket(_PLANES_NEARDUP)
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+b AS (SELECT id, v, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT a.id AS id_a, c.id AS id_b,
+         list_cosine_similarity(a.v, c.v) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= {threshold}
+"""
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup dedup at scale shape: MinHash-LSH proposes
+    candidate pairs, exact shingle Jaccard disposes — the candidate pruning
+    reaches the token join (no all-pairs stage anywhere)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signatures(d, n_hashes=8, k=3)
+    cand = minhash_candidate_pairs(minhash_bands(sig, rows_per_band=2))
+    return (jaccard_pairs(d, candidates=cand, k=3)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _oracle_dedup_pipeline() -> str:
+    return f"""
+WITH toks AS ({_DUCK_SHINGLES3.format(lim=200)}), sig AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY id, seed
+), bands AS (
+  SELECT id, CAST(floor(seed / 2) AS INTEGER) AS band_idx,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+             ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_hash
+  FROM sig GROUP BY id, floor(seed / 2)
+), sized AS (
+  SELECT band_idx, band_hash FROM bands GROUP BY band_idx, band_hash
+  HAVING count(*) > 1 AND count(*) <= 1000
+), b AS (SELECT bands.* FROM bands JOIN sized USING (band_idx, band_hash)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c USING (band_idx, band_hash) WHERE a.id < c.id
+), sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+  FROM cand JOIN toks t1 ON t1.id = cand.id_a
+            JOIN toks t2 ON t2.id = cand.id_b AND t2.shingle = t1.shingle
+  GROUP BY cand.id_a, cand.id_b
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+"""
 
 
 def q_media_features(spark, sf_dir):
@@ -937,6 +1162,32 @@ def q_media_features(spark, sf_dir):
                  F.lit(None).cast("int").alias("duration_ms"),
                  F.lit("png").alias("format")).alias("meta"))
     return extract_media_features(media)
+
+
+def _oracle_media_features(lim: int = 100) -> str:
+    """DuckDB twin of the deterministic fake feature kernel: feature i is
+    byte i of sha256(payload) / 256.0 (exact dyadic rational — no rounding
+    needed); payload is the UTF-8 encoding of the text column."""
+    def hv(e: str) -> str:
+        return f"(strpos('0123456789abcdef', {e}) - 1)"
+
+    feats = ",\n       ".join(
+        f"CAST(({hv(f'substr(h, {2 * i + 1}, 1)')} * 16 + "
+        f"{hv(f'substr(h, {2 * i + 2}, 1)')}) / 256.0 AS DOUBLE) AS feat{i}"
+        for i in range(4))
+    return f"""
+WITH m AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         'img_' || CAST(doc_id AS VARCHAR) AS media_ref,
+         'image' AS media_type,
+         sha256(text) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+  FROM documents WHERE doc_id < {lim}
+)
+SELECT doc_id, media_ref, media_type, h AS payload_sha256, payload_bytes,
+       {feats}
+FROM m
+"""
 
 
 def oracle_extract_flat() -> str:
@@ -1007,13 +1258,14 @@ QUERIES = {
     "header_parse": q_header_parse,
     "sanitize": q_sanitize,
     "windowed_counts": q_windowed_counts,
-    # rows-only (no oracle):
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
     "levels_verify": q_levels_verify,
     "media_features": q_media_features,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "near_dup_lsh": q_near_dup_lsh,
+    "dedup_pipeline": q_dedup_pipeline,
 }
 
 ORACLES = {
@@ -1054,4 +1306,12 @@ ORACLES = {
     "header_parse": ORACLE_HEADER_PARSE,
     "sanitize": ORACLE_SANITIZE,
     "windowed_counts": ORACLE_WINDOWED,
+    "extract_pipeline": oracle_extract_flat(),
+    "simhash": _oracle_simhash(),
+    "levels_verify": _oracle_levels_verify(),
+    "media_features": _oracle_media_features(),
+    "lsh_topk": _oracle_lsh_topk(),
+    "ivf_topk": _oracle_ivf_topk(),
+    "near_dup_lsh": _oracle_near_dup_lsh(),
+    "dedup_pipeline": _oracle_dedup_pipeline(),
 }

@@ -14,8 +14,9 @@ Scale notes (100 TB):
     (band_idx, band_hash) is high-cardinality.  The classic guard against a
     degenerate bucket (e.g. empty docs) is a bucket-size cap — applied here
     as a count filter before the pair join.
-  * n-gram Jaccard: blocked by a cheap key (length bucket) to avoid the
-    quadratic cross join.
+  * n-gram Jaccard: at scale, always candidate-driven — the token table is
+    joined through LSH candidate pairs, so the quadratic token self-join
+    never forms (LSH proposes, exact Jaccard disposes).
 """
 
 from __future__ import annotations
@@ -115,21 +116,41 @@ def minhash_candidate_pairs(bands: DataFrame,
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                   k: int = 1, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs (or all pairs of
-    docs if candidates is None — only sane on small/blocked inputs).
-    Output: (id_a, id_b, jaccard double)."""
+    """Exact n-gram Jaccard similarity.  Output: (id_a, id_b, jaccard double).
+
+    With ``candidates`` (id_a, id_b — e.g. from ``minhash_candidate_pairs``)
+    the token table is joined THROUGH the candidate pair frame, so the
+    quadratic token self-join never forms: the intersection aggregate's input
+    is exactly the candidate pairs' tokens.  This is the 100-TB path —
+    LSH proposes, exact Jaccard disposes.
+
+    Without candidates the all-pairs token self-join runs — only sane on
+    small or pre-blocked inputs (the candidate path is the scale default;
+    callers on raw corpora should always pass LSH candidates).
+    """
     toks = shingles(df, k=k, id_col=id_col, text_col=text_col) if k > 1 \
         else tokens(df, id_col=id_col, text_col=text_col).withColumnRenamed(
             "token", "shingle")
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col("id").alias("id_a"), "shingle")
-    tb = toks.select(F.col("id").alias("id_b"), "shingle")
-    inter = (ta.join(tb, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count("*").alias("n_inter")))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        cand = candidates.select("id_a", "id_b")
+        ids = (cand.select(F.col("id_a").alias("id"))
+               .union(cand.select("id_b")).distinct())
+        # prune the token table to candidate members BEFORE anything heavy
+        toks = toks.join(ids, "id", "left_semi")
+        ta = toks.select(F.col("id").alias("id_a"), "shingle")
+        tb = toks.select(F.col("id").alias("id_b"), "shingle")
+        inter = (cand.join(ta, "id_a")
+                 .join(tb, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("n_inter")))
+    else:
+        ta = toks.select(F.col("id").alias("id_a"), "shingle")
+        tb = toks.select(F.col("id").alias("id_b"), "shingle")
+        inter = (ta.join(tb, "shingle")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("n_inter")))
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     return (inter
             .join(sizes.select(F.col("id").alias("id_a"),
                                F.col("sz").alias("sz_a")), "id_a")

@@ -92,16 +92,20 @@ def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 5,
 def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
              k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """IVF-style approximate top-k: deterministic centroids (the first
-    ``n_centroids`` vectors by id — a seeded sample at scale), every vector
-    assigned to its nearest centroid (one broadcast pass), queries probe the
-    ``n_probe`` nearest cells and re-rank exactly within them.
+    """IVF-style approximate top-k: deterministic pseudo-random centroids
+    (the ``n_centroids`` lowest md5(id) vectors — a seeded sample with no
+    content/id bias, portable to the SQL oracle), every vector assigned to
+    its nearest centroid (one broadcast pass), queries probe the ``n_probe``
+    nearest cells and re-rank exactly within them.
 
-    Scale shape: centroid assignment is a narrow map over a broadcast
-    centroid table; the candidate join shuffles on the small cell id — the
-    cross product never materializes.  Output: (qid, nbr_id, rank, cosine).
+    Scale shape: the centroid pick compiles to TakeOrderedAndProject
+    (per-partition top-n + driver merge of n_centroids rows — NOT a global
+    sort); centroid assignment is a narrow map over a broadcast centroid
+    table; the candidate join shuffles on the small cell id — the cross
+    product never materializes.  Output: (qid, nbr_id, rank, cosine).
     """
-    cents = (emb.orderBy(id_col).limit(n_centroids)
+    cents = (emb.orderBy(F.md5(F.col(id_col).cast("string")))
+             .limit(n_centroids)
              .select(F.col(id_col).alias("cid"),
                      F.col(vec_col).alias("cvec")))
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -139,10 +143,20 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        planes: list[list[float]] | None = None) -> DataFrame:
+                        planes: list[list[float]] | None = None,
+                        exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
-    With ``planes`` the pair generation is LSH-bucketed; without, exact
-    label-blocked... no blocking — exact all-pairs (small inputs only)."""
+
+    The default (and the 100-TB path) is SRP-LSH-bucketed pair generation —
+    pass deterministic ``planes`` (seeded numpy in the caller).  The exact
+    all-pairs crossJoin is a verification tool for small inputs and requires
+    an explicit ``exact=True`` opt-in so the quadratic path can never be
+    reached by default-argument accident."""
+    if planes is None and not exact:
+        raise ValueError(
+            "embedding_near_dups: pass `planes` for the LSH-bucketed scale "
+            "path, or opt in to the exact all-pairs crossJoin with "
+            "exact=True (small inputs only)")
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if planes is not None:
         b = srp_buckets(emb, planes, id_col, vec_col)

@@ -223,16 +223,25 @@ _DIGIT_TRANS = str.maketrans({"O": "0", "o": "0", "l": "1", "I": "1",
                               "S": "5", "B": "8"})
 
 
-def normalize_ocr_digits(value: str, expected_len: Optional[int] = None) -> Optional[str]:
+def normalize_ocr_digits(value: Optional[str],
+                         expected_len: Optional[int] = None) -> Optional[str]:
     """O→0 l/I→1 S→5 B→8, then keep digits only; optional length gate.
 
-    Mirrors /root/reference/.../utils/normalization.py:6-72.  Spark:
-    ``translate(col,'OolISB','001158')`` + ``regexp_replace(col,'[^0-9]','')``.
+    Mirrors /root/reference/.../utils/normalization.py:6-72 including its
+    None contract: None input → None, no digits remaining → None, length
+    mismatch → None.  INTENTIONAL divergence (documented): the reference
+    keeps any ``str.isdigit()`` char (unicode digits); we keep ASCII [0-9]
+    only so the Spark (Java regex), DuckDB (RE2) and Python sides agree
+    byte-for-byte — parity-tested in test_normalize_functions.py.
+    Spark twin: ``nullif(regexp_replace(translate(col,'OolISB','001158'),
+    '[^0-9]',''), '')``.
     """
+    if value is None:
+        return None
     digits = re.sub(r"[^0-9]", "", value.translate(_DIGIT_TRANS))
     if expected_len is not None and len(digits) != expected_len:
         return None
-    return digits
+    return digits or None
 
 
 def synth_entity_id(page_num: int, prompt: str) -> str:

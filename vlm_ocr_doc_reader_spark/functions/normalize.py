@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 def normalize_ocr_digits_col(col: Column,
                              expected_len: int | None = None) -> Column:
     """F8 (utils/normalization.py:6-72): O/o->0, l/I->1, S->5, B->8, strip
-    non-digits; optional exact-length gate (null when length differs)."""
-    digits = F.regexp_replace(F.translate(col, "OolISB", "001158"),
-                              "[^0-9]", "")
+    non-digits; null on null input / no digits left / length-gate miss —
+    the reference's None contract (spec.normalize_ocr_digits parity)."""
+    digits = F.nullif(
+        F.regexp_replace(F.translate(col, "OolISB", "001158"), "[^0-9]", ""),
+        F.lit(""))
     if expected_len is None:
         return digits
     return F.when(F.length(digits) == expected_len, digits)

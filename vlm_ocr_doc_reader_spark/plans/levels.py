@@ -43,7 +43,14 @@ def _kept_text_spans(documents: DataFrame) -> DataFrame:
     return spans.filter(F.col("keep") & (F.col("kind") == "text"))
 
 
-def scan(documents: DataFrame) -> DataFrame:
+def kept_text_spans(documents: DataFrame) -> DataFrame:
+    """Public precompute hook: scan/resolve/verify all accept this frame via
+    ``kept=`` so a chained run (CLI scan->resolve->verify) classifies the
+    corpus ONCE (persist it) instead of once per stage."""
+    return _kept_text_spans(documents)
+
+
+def scan(documents: DataFrame, kept: DataFrame | None = None) -> DataFrame:
     """L0: build the registry (doc_id, page_num, entity_id, prompt,
     resolution=0, ...) from digit-run targets in kept text spans.
 
@@ -51,7 +58,7 @@ def scan(documents: DataFrame) -> DataFrame:
     page_num = offset + 1.  prompt encodes (span offset, run index) so
     resolve can re-locate the target without re-scanning.
     """
-    kept = _kept_text_spans(documents)
+    kept = kept if kept is not None else _kept_text_spans(documents)
     runs = (kept
             .select("doc_id",
                     (F.col("offset") + 1).cast("int").alias("page_num"),
@@ -81,12 +88,14 @@ def _with_run_idx(registry: DataFrame) -> DataFrame:
         F.regexp_extract(F.col("prompt"), r"digits run (\d+)", 1).cast("int"))
 
 
-def _ocr_pass(documents: DataFrame, targets: DataFrame) -> DataFrame:
+def _ocr_pass(kept_spans: DataFrame, targets: DataFrame) -> DataFrame:
     """Shared resolve machinery (core/reader.py:277-377): bind each target
     back to its span (broadcast-friendly equi-join on doc_id+page) and
     extract + digit-normalize its value; empty -> no_data (F5 semantics,
-    ocr_client.py:121-127)."""
-    kept = _kept_text_spans(documents).select(
+    ocr_client.py:121-127).  ``kept_spans`` is the classified kept-text
+    frame (``kept_text_spans``) so callers control how often the corpus is
+    scanned."""
+    kept = kept_spans.select(
         "doc_id", (F.col("offset") + 1).alias("page_num"), "cleaned")
     t = targets.select("doc_id", "page_num", "entity_id", "run_idx")
     j = t.join(kept, ["doc_id", "page_num"], "left")
@@ -97,16 +106,17 @@ def _ocr_pass(documents: DataFrame, targets: DataFrame) -> DataFrame:
     context = F.substring(F.col("cleaned"), 1, 64)
     return j.select(
         "doc_id", "entity_id",
-        F.when(raw.isNotNull() & (value != ""), value)
+        F.when(raw.isNotNull() & value.isNotNull(), value)
          .otherwise(F.lit(None).cast("string")).alias("value"),
         F.when(raw.isNotNull(), context).otherwise(F.lit(None).cast("string"))
          .alias("context"),
-        F.when(raw.isNull() | (value == ""), F.lit("no_data"))
+        F.when(raw.isNull() | value.isNull(), F.lit("no_data"))
          .otherwise(F.lit("ok")).alias("status"))
 
 
 def resolve(documents: DataFrame, registry: DataFrame,
-            pages: list[int] | None = None) -> DataFrame:
+            pages: list[int] | None = None,
+            kept: DataFrame | None = None) -> DataFrame:
     """L1: resolve pending entities; returns the upserted registry.
 
     ``pages`` restricts work to those page numbers (P3,
@@ -114,25 +124,34 @@ def resolve(documents: DataFrame, registry: DataFrame,
     pending = _with_run_idx(pending_entities(registry))
     if pages:
         pending = pending.filter(F.col("page_num").isin(pages))
-    results = _ocr_pass(documents, pending)
+    kept = kept if kept is not None else _kept_text_spans(documents)
+    results = _ocr_pass(kept, pending)
     updated = apply_ocr_result(pending.drop("run_idx"), results, resolution=1)
     return upsert_entries(registry, updated)
 
 
 def verify(documents: DataFrame, registry: DataFrame,
            axes: tuple[int, ...] = (1, 3, 5),
-           pages: list[int] | None = None) -> DataFrame:
+           pages: list[int] | None = None,
+           kept: DataFrame | None = None) -> DataFrame:
     """L2: N independent passes (J5 unionByName + axis tag) -> majority vote
     (A2) -> resolution=2 rewrite (P8) guarded by the all-errors filter (P9).
-    ``pages`` restricts verify targets (P4, core/reader.py:465-466)."""
+    ``pages`` restricts verify targets (P4, core/reader.py:465-466).
+
+    The reference runs N genuinely independent OCR passes
+    (core/reader.py:477-487) because its model channel is stochastic; this
+    engine is deterministic, so the N samples are derived from ONE pass with
+    a literal axis fan-out (explode) — bit-identical output to N passes,
+    N-1 fewer corpus scans.  The vote operator's full tie/error semantics
+    stay covered by the ported unit suite over heterogeneous samples."""
     targets = _with_run_idx(registry)
     if pages:
         targets = targets.filter(F.col("page_num").isin(pages))
-    samples = None
-    for axis_idx, _axis in enumerate(axes):
-        s = (_ocr_pass(documents, targets)
-             .withColumn("axis_idx", F.lit(axis_idx)))
-        samples = s if samples is None else samples.unionByName(s)
+    kept = kept if kept is not None else _kept_text_spans(documents)
+    samples = (_ocr_pass(kept, targets)
+               .withColumn("axis_idx",
+                           F.explode(F.array(*[F.lit(i)
+                                               for i in range(len(axes))]))))
 
     voted = majority_vote(samples, key_cols=("doc_id", "entity_id"))
     voted = voted.filter(~F.col("confidence").startswith("0/"))  # P9
