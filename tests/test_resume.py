@@ -12,7 +12,10 @@ from vlm_ocr_doc_reader_spark.fixtures.generate import (
     generate_documents, write_documents_parquet)
 from vlm_ocr_doc_reader_spark.plans.extract import extract
 from vlm_ocr_doc_reader_spark.state.manifest import (commit_phase,
+                                                     compact_manifest,
+                                                     new_run_id,
                                                      pending_docs,
+                                                     read_committed,
                                                      read_manifest,
                                                      read_metrics)
 
@@ -62,3 +65,59 @@ def test_resume_processes_only_remainder(spark, corpus_path, tmp_path):
     assert m.count() >= 2
     assert m.groupBy().sum("docs").collect()[0][0] == n_total
     _ = pyhash_half
+
+
+def test_atomic_commit_crash_between_write_and_manifest(spark, corpus_path,
+                                                        tmp_path):
+    """Output parquet lands BEFORE the manifest commit; a crash in between
+    must not yield duplicate doc rows after the rerun — read_committed drops
+    the orphaned run and the rerun reprocesses those docs."""
+    import pyspark.sql.functions as F
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    docs = spark.read.parquet(corpus_path)
+    n_total = docs.count()
+
+    # run 1 CRASHES after the output write, before commit_phase
+    run1 = new_run_id()
+    extract(docs).withColumn("run_id", F.lit(run1)) \
+        .write.mode("append").partitionBy("run_id").parquet(out_dir)
+    # (no commit_phase -> manifest never saw run1)
+
+    # rerun: manifest empty, so ALL docs are pending again
+    todo = pending_docs(docs, spark, state_dir, "extract")
+    assert todo.count() == n_total
+    run2 = new_run_id()
+    out2 = extract(todo).withColumn("run_id", F.lit(run2))
+    out2.write.mode("append").partitionBy("run_id").parquet(out_dir)
+    commit_phase(out2.drop("run_id"), spark, state_dir, "extract",
+                 run_id=run2)
+
+    # raw output has duplicates (both runs); committed view does not
+    raw = spark.read.parquet(out_dir)
+    assert raw.count() == 2 * n_total
+    committed = read_committed(spark, out_dir, state_dir, "extract")
+    assert committed.count() == n_total
+    assert committed.select("doc_id").distinct().count() == n_total
+    clean = {r["doc_id"]: r["spans"] for r in extract(docs).collect()}
+    got = {r["doc_id"]: r["spans"]
+           for r in committed.drop("run_id").collect()}
+    assert got == clean
+
+
+def test_manifest_compaction_bounds_reads(spark, corpus_path, tmp_path):
+    """K successive commits grow the manifest K-fold; compaction keeps only
+    the latest (doc_id, phase) row and resume still sees zero pending."""
+    state_dir = str(tmp_path / "state")
+    docs = spark.read.parquet(corpus_path)
+    n_total = docs.count()
+    out = extract(docs)
+    for _ in range(3):
+        commit_phase(out, spark, state_dir, "extract", run_id=new_run_id())
+    assert read_manifest(spark, state_dir).count() == 3 * n_total
+
+    kept = compact_manifest(spark, state_dir)
+    assert kept == n_total
+    assert read_manifest(spark, state_dir).count() == n_total
+    # latest run wins and resume semantics are unchanged
+    assert pending_docs(docs, spark, state_dir, "extract").count() == 0

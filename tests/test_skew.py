@@ -1,6 +1,7 @@
 """Salted skew-join == plain join, with the hot key spread across salts."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from vlm_ocr_doc_reader_spark.operators.skew import salted_join
 
@@ -22,6 +23,22 @@ def test_salted_join_equals_plain_join(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b
+
+
+def test_salted_join_rejects_outer_and_handles_null_rows(spark):
+    big = spark.createDataFrame(
+        [(7, "x"), (None, None), (7, None)], "k int, payload string")
+    small = spark.createDataFrame([(7, "dim")], "k int, name string")
+    # right/full outer would replicate unmatched small rows n_salts times
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full_outer")
+    # rows with NULLs must not vanish: struct-hash salt is never NULL
+    got = salted_join(big, small, "k").select("k", "payload", "name") \
+        .collect()
+    assert sorted((r["k"], r["payload"] or "") for r in got) == [(7, ""),
+                                                                 (7, "x")]
+    left = salted_join(big, small, "k", how="left")
+    assert left.count() == 3          # big side fully preserved
 
 
 def test_salt_actually_spreads_hot_key(spark):

@@ -30,6 +30,16 @@ def test_quarantine_unknown_kinds(spark):
     assert bad.count() == 2
 
 
+def test_quarantine_is_lossless_on_null_kind(spark):
+    """NULL kind must land in quarantine, not vanish (null-safe split)."""
+    rows = [("d1", [("text", "Good sentence here today.", None, 0),
+                    (None, "null kind span", None, 1)])]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    good, bad = quarantine_invalid_spans(explode_spans(df))
+    assert good.count() == 1
+    assert bad.count() == 1           # the null-kind row is retained
+
+
 def test_content_hash_changes_with_content(spark):
     a = spark.createDataFrame(
         [("d1", [("text", "v1", None, 0)])], DOCUMENTS_SCHEMA)
@@ -67,7 +77,7 @@ def test_malformed_spans_dropped_consistently(spark):
                     (None, "orphan kind", None, 1),
                     ("text", "Good second sentence here today.", None, 2)])]
     df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
-    for strat in ("fused", "declarative"):
+    for strat in ("fused", "fused_raw", "declarative"):
         out = {r["doc_id"]: [(s["text"], s["order"]) for s in r["spans"]]
                for r in extract(df, strategy=strat).collect()}
         assert out["d1"] == [("Good first sentence here today.", 0),

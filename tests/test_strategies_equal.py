@@ -25,3 +25,30 @@ def test_fused_equals_declarative(corpus_df):
     assert set(a) == set(b)
     diff = [d for d in a if a[d] != b[d]]
     assert not diff, f"{len(diff)} docs differ; first: {diff[0]}"
+
+
+def test_fused_raw_equals_fused(corpus_df):
+    """The landing-shape (pre-exploded) strategy keeps the same contract —
+    including docs whose spans are all pruned before the exchange."""
+    a = {r["doc_id"]: r["spans"]
+         for r in extract(corpus_df, strategy="fused").collect()}
+    c = {r["doc_id"]: r["spans"]
+         for r in extract(corpus_df, strategy="fused_raw").collect()}
+    assert set(a) == set(c)
+    diff = [d for d in a if a[d] != c[d]]
+    assert not diff, f"{len(diff)} docs differ; first: {diff[0]}"
+
+
+def test_fused_raw_keeps_all_pruned_docs(spark):
+    """A doc whose spans are ALL boilerplate/link must still emit its row
+    with an empty spans array (the repair union after the prefilter)."""
+    rows = [("bp_only", [("boilerplate", "Copyright 2026.", None, 0),
+                         ("link", "home", None, 1)]),
+            ("normal", [("text", "A good long sentence right here.", None,
+                         0)])]
+    from vlm_ocr_doc_reader_spark.sources.readers import DOCUMENTS_SCHEMA
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    out = {r["doc_id"]: r["spans"]
+           for r in extract(df, strategy="fused_raw").collect()}
+    assert out["bp_only"] == []
+    assert len(out["normal"]) == 1

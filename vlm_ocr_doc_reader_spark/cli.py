@@ -52,15 +52,24 @@ def parse_axes_arg(arg: str) -> tuple[int, ...]:
 
 
 def _run_extract(spark: SparkSession, args) -> None:
+    """Resumable extract with atomic commit semantics: outputs are tagged
+    with a run_id and written FIRST, the manifest referencing that run_id is
+    committed LAST.  A crash in between leaves orphan rows that
+    ``read_committed`` filters on read and the next run reprocesses — never
+    duplicate committed docs, never lost ones."""
+    from pyspark.sql import functions as F
+
+    from .state.manifest import new_run_id
     docs = spark.read.parquet(args.input)
     if args.state:
         docs = pending_docs(docs, spark, args.state, "extract")
-    out = extract(docs)
-    out.write.mode("append").parquet(args.output)
+    run_id = new_run_id()
+    out = extract(docs).withColumn("run_id", F.lit(run_id))
+    out.write.mode("append").partitionBy("run_id").parquet(args.output)
     if args.state:
-        commit_phase(spark.read.parquet(args.output).join(
-            docs.select("doc_id"), "doc_id", "left_semi"),
-            spark, args.state, "extract")
+        processed = (spark.read.parquet(args.output)
+                     .filter(F.col("run_id") == run_id).drop("run_id"))
+        commit_phase(processed, spark, args.state, "extract", run_id=run_id)
 
 
 def _run_levels(spark: SparkSession, args) -> None:

@@ -93,11 +93,16 @@ def _oracle_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     """One document's RAW spans -> (doc_id, spans) by running the shared
     single-node extraction (`extraction.oracle.extract_doc`) on the group.
     Zero-drift by construction: the distributed path and the golden oracle
-    are the same function."""
+    are the same function.
+
+    Arrow hands nullable int offsets to pandas as float NaN — map those back
+    to None so extract_doc's quarantine (not a float-cast crash) handles
+    them, exactly as the row-wise strategies do."""
     from ..extraction.oracle import extract_doc
     pdf = pdf.sort_values("offset")
+    offsets = [None if pd.isna(o) else int(o) for o in pdf["offset"]]
     spans = list(zip(pdf["kind"].tolist(), pdf["text"].tolist(),
-                     pdf["media_ref"].tolist(), pdf["offset"].tolist()))
+                     pdf["media_ref"].tolist(), offsets))
     out = extract_doc(spans)
     return pd.DataFrame({
         "doc_id": [pdf["doc_id"].iloc[0]],
@@ -146,14 +151,27 @@ def fused_extract_raw(raw_spans: DataFrame) -> DataFrame:
     link kinds drop row-wise before the exchange — same outcome as the full
     classifier for those kinds, so the shuffle only carries candidate
     spans), ONE hash exchange on doc_id, one grouped Arrow stage running the
-    shared per-doc extraction.  Three stages total; all heavy work is in the
-    embarrassingly-parallel grouped stage, which is what scales linearly
-    with cores.
+    shared per-doc extraction.  All heavy work is in the embarrassingly-
+    parallel grouped stage, which is what scales linearly with cores.
+
+    Contract repair: a doc whose spans are ALL pruned loses its group (no
+    input rows -> no output row), so the distinct doc_id set is unioned back
+    with empty span arrays — same (doc_id, empty spans) contract as the
+    fused-rows and declarative strategies (tested in test_strategies_equal).
+    The distinct is a narrow one-column agg, cheap next to the grouped stage.
     """
     from pyspark.sql import functions as F
-    pruned = raw_spans.filter(~F.col("kind").isin("boilerplate", "link"))
-    return (pruned.groupBy("doc_id")
-            .applyInPandas(_oracle_one_doc, schema=_NESTED_SCHEMA))
+    pruned = raw_spans.filter(
+        F.col("kind").isNull() | ~F.col("kind").isin("boilerplate", "link"))
+    out = (pruned.groupBy("doc_id")
+           .applyInPandas(_oracle_one_doc, schema=_NESTED_SCHEMA))
+    ids = raw_spans.select("doc_id").distinct()
+    missing = (ids.join(out.select("doc_id"), "doc_id", "left_anti")
+               .withColumn(
+                   "spans",
+                   F.array().cast("array<struct<kind:string,text:string,"
+                                  "media_ref:string,order:int>>")))
+    return out.unionByName(missing)
 
 
 def _extract_one_doc_nested(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -26,8 +26,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     explicit salt.  ``small`` is replicated n_salts times — keep it small
     relative to the cluster; the big side gets a uniform random-ish salt
     derived from stable row content (no rand(): determinism matters for
-    retries and for our reproducibility contract)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+    retries and for our reproducibility contract).
+
+    ``how`` is restricted to inner/left (big side preserved): for
+    right/full-outer the replicated small side would emit every unmatched
+    small-side row n_salts times — a silent wrong answer.  The salt is
+    hashed over a struct of the big row so all-NULL rows still get a
+    non-null salt (xxhash64 over bare columns yields NULL on NULL input,
+    which would silently drop those rows from an inner join)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): "
+            "replicating the small side breaks right/full-outer semantics")
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])),
                   F.lit(n_salts)).cast("int")
     b = big.withColumn("_salt", salt)
     s = (small.withColumn(

@@ -88,8 +88,11 @@ def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
 
     strategy='fused' (default): classification in Catalyst, per-doc
     ordering/reconciliation in one grouped Arrow stage — one shuffle total.
+    strategy='fused_raw': the landing-shape plan — explode to raw spans,
+    cheap JVM prefilter, ONE hash exchange on doc_id, grouped Arrow
+    extraction (the path for inputs that arrive already exploded).
     strategy='declarative': joins+windows end to end (salted assembly for
-    mega docs) — the fully Catalyst-visible plan.  Both produce identical
+    mega docs) — the fully Catalyst-visible plan.  All produce identical
     output (tests enforce it).
     """
     if strategy == "fused":
@@ -97,5 +100,16 @@ def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
         # empty-doc repair join is needed either
         from ..operators.fused import fused_extract_rows
         return fused_extract_rows(documents)
+    if strategy == "fused_raw":
+        from ..operators.fused import fused_extract_raw
+        # explode_outer keeps empty/null-spans docs as one null row, which
+        # extract_doc quarantines -> the doc still emits an empty spans row
+        raw = (documents.select("doc_id",
+                                F.explode_outer("spans").alias("s"))
+               .select("doc_id", F.col("s.kind").alias("kind"),
+                       F.col("s.text").alias("text"),
+                       F.col("s.media_ref").alias("media_ref"),
+                       F.col("s.offset").alias("offset")))
+        return fused_extract_raw(raw)
     assembled = assemble_spans(extract_flat(documents))
     return with_empty_docs(assembled, documents)

@@ -45,9 +45,15 @@ def read_documents(spark: SparkSession, path: str,
 
 
 def quarantine_invalid_spans(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split exploded spans into (valid, quarantine): unknown kinds or null
-    offsets go to the side-output (P5 quarantine pattern)."""
-    good = F.col("kind").isin(*VALID_KINDS) & F.col("offset").isNotNull()
+    """Split exploded spans into (valid, quarantine): unknown/null kinds or
+    null offsets go to the side-output (P5 quarantine pattern).
+
+    The predicate is null-safe (coalesce to false): a NULL kind makes
+    ``isin`` NULL, and filter(~NULL) would drop the row from BOTH outputs —
+    the split must be lossless."""
+    good = F.coalesce(
+        F.col("kind").isin(*VALID_KINDS) & F.col("offset").isNotNull(),
+        F.lit(False))
     return df.filter(good), df.filter(~good)
 
 

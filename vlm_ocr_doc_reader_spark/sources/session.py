@@ -24,6 +24,9 @@ def get_spark(master: str | None = None,
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
         "spark.sql.session.timeZone": "UTC",
+        # X3 retry analog (ocr_client.py:261-345 3-attempt backoff): Spark
+        # task-level retries replace app-level retry for deterministic UDFs
+        "spark.task.maxFailures": "4",
         # at 100 TB: keep scan splits bounded so a partition fits in memory
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.driver.memory": "16g",

@@ -21,12 +21,14 @@ real Iceberg catalog).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = ("doc_id string, phase string, content_hash string, "
-                   "n_spans long, ts timestamp")
+                   "n_spans long, ts timestamp, run_id string")
 METRICS_SCHEMA = ("phase string, partition_id int, docs long, spans long, "
                   "ts timestamp")
 
@@ -81,17 +83,31 @@ def pending_docs(documents: DataFrame, spark: SparkSession, state_dir: str,
     return documents.join(done, "doc_id", "left_anti")
 
 
+def new_run_id() -> str:
+    """Lineage id for one commit unit (a run / micro-batch).  Outputs tagged
+    with it and manifest rows referencing it make the output-write +
+    manifest-commit pair atomic in effect: ``read_committed`` drops output
+    rows whose run was never committed."""
+    return uuid.uuid4().hex
+
+
 def commit_phase(processed: DataFrame, spark: SparkSession, state_dir: str,
-                 phase: str, input_docs: DataFrame | None = None) -> None:
-    """Append (doc_id, phase, hash, n_spans, ts) for processed docs, plus a
-    per-partition metrics row (docs/spans counts + commit timestamp) — the
-    reference's incremental save (auto_save=True, core/processor.py:179-181)
-    generalized to partition granularity.
+                 phase: str, input_docs: DataFrame | None = None,
+                 run_id: str | None = None) -> None:
+    """Append (doc_id, phase, hash, n_spans, ts, run_id) for processed docs,
+    plus a per-partition metrics row (docs/spans counts + commit timestamp) —
+    the reference's incremental save (auto_save=True,
+    core/processor.py:179-181) generalized to partition granularity.
 
     ``input_docs`` (when given) supplies the version hash from the INPUT
     spans so a later ``pending_docs(by_version=True)`` can detect changed
     documents; without it the hash is of the processed row (sufficient for
-    doc_id-keyed resume)."""
+    doc_id-keyed resume).
+
+    Commit ORDER is the atomicity protocol (write outputs first, commit the
+    manifest referencing ``run_id`` last): a crash between the two leaves
+    orphan output rows that ``read_committed`` filters out, and the next run
+    reprocesses those docs — no duplicates, no loss."""
     if input_docs is not None:
         hashes = input_hash(input_docs)
         entries = (processed.select("doc_id").join(hashes, "doc_id"))
@@ -107,7 +123,8 @@ def commit_phase(processed: DataFrame, spark: SparkSession, state_dir: str,
                .select("doc_id",
                        F.lit(phase).alias("phase"),
                        "content_hash", "n_spans",
-                       F.current_timestamp().alias("ts")))
+                       F.current_timestamp().alias("ts"),
+                       F.lit(run_id).cast("string").alias("run_id")))
     entries.write.mode("append").parquet(manifest_path(state_dir))
 
     metrics = (processed
@@ -124,3 +141,45 @@ def commit_phase(processed: DataFrame, spark: SparkSession, state_dir: str,
 
 def read_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_or_empty(spark, metrics_path(state_dir), METRICS_SCHEMA)
+
+
+def read_committed(spark: SparkSession, output_dir: str, state_dir: str,
+                   phase: str) -> DataFrame:
+    """Output rows whose (doc_id, run_id) is committed in the manifest.
+
+    This is the consumer half of the atomicity protocol: output parquet is
+    appended BEFORE the manifest commit, so a crash in between leaves rows
+    with a run_id no manifest entry references — they are dropped here (and
+    the docs get reprocessed by the next run's anti-join, because the
+    manifest never saw them).  Outputs written without a ``run_id`` column
+    (legacy) fall back to doc_id-only committed filtering."""
+    out = spark.read.parquet(output_dir)
+    m = read_manifest(spark, state_dir, phase)
+    if "run_id" not in out.columns:
+        return out.join(m.select("doc_id"), "doc_id", "left_semi")
+    return out.join(m.select("doc_id", "run_id"), ["doc_id", "run_id"],
+                    "left_semi")
+
+
+def compact_manifest(spark: SparkSession, state_dir: str) -> int:
+    """Rewrite the append-only manifest keeping only the LATEST row per
+    (doc_id, phase) — bounds the manifest read for long-lived incremental
+    pipelines (the reference's analog is its single upsert-keyed state file,
+    core/state.py:795-822).  Returns the retained row count.
+
+    One shuffle on (doc_id, phase) over manifest rows only (never the data).
+    Plain-parquet stand-in for an Iceberg RewriteFiles/MERGE snapshot: the
+    new manifest is materialized to a sibling dir and swapped in; on a real
+    catalog the swap is an atomic snapshot commit."""
+    path = manifest_path(state_dir)
+    m = _read_or_empty(spark, path, MANIFEST_SCHEMA)
+    w = Window.partitionBy("doc_id", "phase") \
+        .orderBy(F.desc("ts"), F.desc("run_id"))
+    latest = (m.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    tmp = path + ".compact"
+    latest.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return n

@@ -33,10 +33,20 @@ def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
     streaming query (already awaited when ``available_now``)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..state.manifest import new_run_id
         todo = pending_docs(batch, spark, state_dir, "extract")
-        out = extract(todo)
-        out.write.mode("append").parquet(output_dir)
-        commit_phase(out, spark, state_dir, "extract")
+        # atomic-in-effect commit: output tagged+written first, manifest
+        # referencing the run last (read_committed drops orphans of a crash
+        # between the two; Spark's checkpoint may replay the batch, and the
+        # pending anti-join makes the replay a no-op for committed docs)
+        run_id = new_run_id()
+        out = extract(todo).withColumn("run_id", F.lit(run_id))
+        out.write.mode("append").partitionBy("run_id").parquet(output_dir)
+        committed = (spark.read.parquet(output_dir)
+                     .filter(F.col("run_id") == run_id).drop("run_id"))
+        commit_phase(committed, spark, state_dir, "extract", run_id=run_id)
 
     stream = (spark.readStream
               .schema(DOCS_SCHEMA)
