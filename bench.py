@@ -129,7 +129,13 @@ def main() -> None:
         t_hi, _ = run_extraction(hi_master, rpath)
         t_full, _ = run_extraction(full_master, rpath)
         thr_lo, thr_hi = n_docs / t_lo, n_docs / t_hi
+        thr_full = n_docs / t_full
         eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+        # the oversubscribed pair is reported in the headline too (hi ->
+        # full cores): on this box each task drives a JVM thread + an Arrow
+        # worker (~2 cores/task), so full==CPUS measures saturation — the
+        # number is published, not hidden in prose
+        eff_hi_full = (thr_full / thr_hi) / (CPUS / n_hi)
         extras["scaling"] = {
             "input_docs": n_docs,
             lo_master: {"sec": round(t_lo, 2),
@@ -137,9 +143,11 @@ def main() -> None:
             hi_master: {"sec": round(t_hi, 2),
                         "docs_per_sec": round(thr_hi, 1)},
             full_master: {"sec": round(t_full, 2),
-                          "docs_per_sec": round(n_docs / t_full, 1)},
+                          "docs_per_sec": round(thr_full, 1)},
             "speedup": round(thr_hi / thr_lo, 3),
             "efficiency": round(eff, 3),
+            f"speedup_{n_hi}_to_{CPUS}": round(thr_full / thr_hi, 3),
+            f"efficiency_{n_hi}_to_{CPUS}": round(eff_hi_full, 3),
         }
         timings["extract_corpus"] = round(t_full, 3)
         docs_per_sec = n_docs / t_full
@@ -209,11 +217,19 @@ def _write_bench_md(r: dict) -> None:
     ]
     for k in keys:
         lines.append(f"| {k} | {s[k]['sec']} | {s[k]['docs_per_sec']} |")
+    hi_full = [k for k in s if k.startswith("efficiency_")]
+    hi_full_line = ""
+    if hi_full:
+        k = hi_full[0]
+        pair = k.replace("efficiency_", "").replace("_to_", " -> ")
+        hi_full_line = (f"Oversubscribed pair {pair} cores: speedup "
+                        f"{s[k.replace('efficiency', 'speedup')]}x, "
+                        f"efficiency {s[k]} (saturation, see note below). ")
     lines += [
         "",
         f"**Speedup {keys[0]} -> {keys[1]}: {s['speedup']}x; "
         f"scaling efficiency: {s['efficiency']}** "
-        f"(north rule target >= 0.8 at N -> 4N).",
+        f"(north rule target >= 0.8 at N -> 4N).  " + hi_full_line,
         "",
         "The N/4N pair uses core counts that leave the box unconstrained: "
         "every Spark task here drives a JVM thread AND an Arrow Python "

@@ -107,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--output", required=True)
     pe.add_argument("--state", default=None)
 
+    # the reference CLI's front door (cli.py:242,362): one DocumentData-
+    # shaped row per doc (text + structure.headers + empty tables)
+    pf = sub.add_parser("describe", parents=[common])
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--output", required=True)
+
     for name in ("scan", "resolve", "verify"):
         ps = sub.add_parser(name, parents=[common])
         ps.add_argument("--input", required=True)
@@ -123,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "extract":
             _run_extract(spark, args)
+        elif args.command == "describe":
+            from .plans.describe import full_description
+            full_description(spark.read.parquet(args.input)) \
+                .write.mode("overwrite").parquet(args.output)
         else:
             _run_levels(spark, args)
     finally:

@@ -890,6 +890,121 @@ def q_extract_flat(spark, sf_dir):
                       "media_ref", F.col("order").alias("ord"))
 
 
+def _derived_spans_structured(spark, sf_dir):
+    """Derived spans with synthetic heading spans: a sentence is a heading
+    when (offset % 7 == 3) or when it's the first span of every third doc
+    (the driver documents are single-sentence, so the doc_id rule guarantees
+    headings exist at the gate); even doc_ids get a markdown '#'-run prefix
+    of depth 1 + doc_id % 5 so both branches of the level heuristic are
+    exercised."""
+    # raw numeric id kept under a distinct name: the output aliases
+    # 'doc_id' to the string form, and a lambda's outer reference would
+    # otherwise resolve laterally against that alias
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("raw_id"), "text")
+    hashes = F.repeat(F.lit("#"), (F.col("raw_id") % 5 + 1).cast("int"))
+    is_h = (lambda i: (i % 7 == 3)
+            | ((i == 0) & (F.col("raw_id") % 3 == 0)))
+    return docs.select(
+        F.concat(F.lit("doc_"), F.col("raw_id").cast("string"))
+         .alias("doc_id"),
+        F.transform(
+            F.split(F.col("text"), r"\. "),
+            lambda x, i: F.struct(
+                F.when(is_h(i), F.lit("heading")).otherwise(F.lit("text"))
+                 .alias("kind"),
+                F.when(is_h(i) & (F.col("raw_id") % 2 == 0),
+                       F.concat(hashes, F.lit(" "), x)).otherwise(x)
+                 .alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"))).alias("spans"))
+
+
+_DUCK_STRUCTURED_SP = """
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, i - 1 AS off,
+         CASE WHEN (i - 1) % 7 = 3 OR (i = 1 AND doc_id % 3 = 0)
+              THEN 'heading' ELSE 'text' END AS kind,
+         trim(regexp_replace(
+             CASE WHEN ((i - 1) % 7 = 3 OR (i = 1 AND doc_id % 3 = 0))
+                       AND doc_id % 2 = 0
+                  THEN repeat('#', CAST(doc_id % 5 + 1 AS INTEGER))
+                       || ' ' || parts[i]
+                  ELSE parts[i] END,
+             '\\s+', ' ', 'g')) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+"""
+
+_DUCK_LEVEL = """
+  CAST(CASE WHEN regexp_matches(text, '^#')
+            THEN least(length(regexp_extract(text, '^#+')), 6)
+            WHEN len(string_split(text, ' ')) <= 2 THEN 1
+            WHEN len(string_split(text, ' ')) <= 4 THEN 2
+            ELSE 3 END AS INTEGER)
+"""
+
+_DUCK_TITLE = """
+  CASE WHEN regexp_matches(text, '^#')
+       THEN trim(regexp_replace(text, '^#+', ''))
+       ELSE text END
+"""
+
+
+def q_doc_structure(spark, sf_dir):
+    """D6 HeaderInfo parity: (doc_id, level, title, page_num) with recovered
+    heading levels (markdown '#'-run or word-count heuristic)."""
+    from .plans.describe import document_structure
+    return document_structure(_derived_spans_structured(spark, sf_dir))
+
+
+def _oracle_doc_structure() -> str:
+    return f"""
+WITH sp AS ({_DUCK_STRUCTURED_SP})
+SELECT doc_id, {_DUCK_LEVEL} AS level, {_DUCK_TITLE} AS title,
+       CAST(off + 1 AS INTEGER) AS page_num
+FROM sp WHERE kind = 'heading' AND text <> ''
+"""
+
+
+def q_full_description(spark, sf_dir):
+    """The reference's front-door DocumentData artifact, flattened for the
+    gate: (doc_id, full_text = '\\n\\n' join of kept text spans in reading
+    order, n_headers)."""
+    from .plans.describe import full_description
+    out = full_description(_derived_spans_structured(spark, sf_dir))
+    return out.select("doc_id", F.col("text").alias("full_text"),
+                      F.size("headers").alias("n_headers"))
+
+
+def _oracle_full_description() -> str:
+    nav = spec.NAV_RE
+    return f"""
+WITH sp AS ({_DUCK_STRUCTURED_SP}),
+kept AS (
+  SELECT * FROM sp
+  WHERE kind = 'text' AND text <> ''
+    AND NOT regexp_matches(lower(text), '{nav}')
+    AND (length(text) - length(replace(text, '|', '')))
+        <= {spec.PIPE_RATIO} * len(string_split(text, ' '))
+    AND (len(string_split(text, ' ')) >= {spec.MIN_WORDS}
+         OR substr(text, length(text), 1) IN ('.', '!', '?'))
+), t AS (
+  SELECT doc_id, string_agg(text, chr(10) || chr(10) ORDER BY off)
+         AS full_text
+  FROM kept GROUP BY doc_id
+), h AS (
+  SELECT doc_id, count(*) AS n FROM sp
+  WHERE kind = 'heading' AND text <> '' GROUP BY doc_id
+), ids AS (
+  SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+)
+SELECT ids.doc_id, coalesce(full_text, '') AS full_text,
+       CAST(coalesce(n, 0) AS INTEGER) AS n_headers
+FROM ids LEFT JOIN t USING (doc_id) LEFT JOIN h USING (doc_id)
+"""
+
+
 def q_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash(d)
@@ -1266,6 +1381,8 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "near_dup_lsh": q_near_dup_lsh,
     "dedup_pipeline": q_dedup_pipeline,
+    "doc_structure": q_doc_structure,
+    "full_description": q_full_description,
 }
 
 ORACLES = {
@@ -1314,4 +1431,6 @@ ORACLES = {
     "ivf_topk": _oracle_ivf_topk(),
     "near_dup_lsh": _oracle_near_dup_lsh(),
     "dedup_pipeline": _oracle_dedup_pipeline(),
+    "doc_structure": _oracle_doc_structure(),
+    "full_description": _oracle_full_description(),
 }

@@ -68,13 +68,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: language with the most marker hits wins;
-    ties broken by language code order; no hits -> 'und'."""
+    ties broken by language code order; no hits -> 'und'.
+
+    ONE regex pass: all markers are extracted with a single combined
+    alternation, then per-language counts are cheap array filters over the
+    extracted tokens.  Equivalent to per-language scans because markers are
+    whole \\b-bounded tokens (no overlapping/prefix matches are possible),
+    so the combined extraction is exactly the union of the per-language
+    match sets — and the shared marker ('la') is counted by both filters.
+    """
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    combined = r"\b(" + "|".join(all_markers) + r")\b"
+    tokens = F.regexp_extract_all(low, F.lit(combined), 0)
     hits = []
     for code in sorted(LANG_MARKERS):
-        pat = r"\b(" + "|".join(LANG_MARKERS[code]) + r")\b"
-        hits.append((code,
-                     F.size(F.regexp_extract_all(low, F.lit(pat), 0))))
+        markers = LANG_MARKERS[code]
+        n = F.size(F.filter(tokens, lambda x: x.isin(*markers)))
+        hits.append((code, n))
     best = F.lit("und")
     best_n = F.lit(0)
     for code, n in hits:  # first max wins (codes pre-sorted)

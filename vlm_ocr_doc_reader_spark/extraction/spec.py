@@ -248,3 +248,36 @@ def synth_entity_id(page_num: int, prompt: str) -> str:
     """``scan_{page}_{sha256(prompt)[:8]}`` — scan.py:159-166."""
     h = hashlib.sha256(prompt.encode("utf-8")).hexdigest()[:8]
     return f"scan_{page_num}_{h}"
+
+
+# ---------------------------------------------------------------------------
+# Heading level recovery (D6) — HeaderInfo.level analog
+# ---------------------------------------------------------------------------
+# The reference's headers carry level:int produced by the VLM
+# (/root/reference/02_src/vlm_ocr_doc_reader/schemas/document.py:7-18,
+# validated at operations/full_description.py:333-341).  Deterministic
+# analog: a markdown '#'-run when present, else a word-count heuristic
+# (short headings are higher-level).  Mirrored 1:1 by Catalyst expressions
+# in operators/classify.py — parity-tested.
+
+MAX_HEADING_LEVEL = 6
+
+
+def heading_level(cleaned: str) -> int:
+    """Level for a kept heading span's cleaned text."""
+    if cleaned.startswith("#"):
+        n = len(cleaned) - len(cleaned.lstrip("#"))
+        return min(n, MAX_HEADING_LEVEL)
+    nwords = len(cleaned.split(" ")) if cleaned else 0
+    if nwords <= 2:
+        return 1
+    if nwords <= 4:
+        return 2
+    return 3
+
+
+def heading_title(cleaned: str) -> str:
+    """Title with any markdown '#'-run stripped."""
+    if cleaned.startswith("#"):
+        return cleaned.lstrip("#").strip(_ASCII_WS)
+    return cleaned

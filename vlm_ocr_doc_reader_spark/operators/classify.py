@@ -86,3 +86,25 @@ def classify(df: DataFrame) -> DataFrame:
     return out.withColumn(
         "keep", keep_expr(F.col("kind"), F.col("cleaned"),
                           F.col("media_ref")))
+
+
+def heading_level_col(cleaned: Column) -> Column:
+    """Catalyst mirror of ``spec.heading_level`` (parity-tested): '#'-run
+    when present, else word-count heuristic."""
+    hashes = F.length(F.regexp_extract(cleaned, r"^#+", 0))
+    spaces = F.length(cleaned) - F.length(
+        F.replace(cleaned, F.lit(" "), F.lit("")))
+    nwords = F.when(cleaned == "", F.lit(0)).otherwise(spaces + 1)
+    by_len = (F.when(nwords <= 2, F.lit(1))
+               .when(nwords <= 4, F.lit(2))
+               .otherwise(F.lit(3)))
+    return F.when(hashes > 0,
+                  F.least(hashes, F.lit(spec.MAX_HEADING_LEVEL))) \
+            .otherwise(by_len).cast("int")
+
+
+def heading_title_col(cleaned: Column) -> Column:
+    """Catalyst mirror of ``spec.heading_title``."""
+    return F.when(cleaned.startswith("#"),
+                  F.trim(F.regexp_replace(cleaned, r"^#+", ""))) \
+            .otherwise(cleaned)
