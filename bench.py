@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "extract_text", "pricing_summary", "top_order_per_cust",
     "dim_join_rollup", "upsert_merge", "chunking", "vote", "dedup_exact",
     "minhash_pairs", "cosine_topk", "quality", "lang_id", "fingerprint",
+    "dedup_pipeline", "lsh_topk", "full_description", "levels_verify",
 ]
 
 
@@ -183,6 +184,36 @@ def main() -> None:
             QUERIES[name](spark, SF_DIR).write.format("noop") \
                 .mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+
+        # verify's sample fan-out is one corpus scan regardless of the axis
+        # count (explode over a persisted pass) — evidence: wall time must
+        # be ~flat in len(axes)
+        from pyspark.sql import functions as Fx
+        from vlm_ocr_doc_reader_spark.plans.levels import (kept_text_spans,
+                                                           resolve, scan,
+                                                           verify)
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .withColumn("text", Fx.concat(
+                Fx.col("text"), Fx.lit(" contract number "),
+                (Fx.col("doc_id") + 7700000000).cast("string"),
+                Fx.lit(" filed.")))
+        docs = d.select(
+            Fx.concat(Fx.lit("doc_"), Fx.col("doc_id").cast("string"))
+              .alias("doc_id"),
+            Fx.transform(
+                Fx.split(Fx.col("text"), r"\. "),
+                lambda x, i: Fx.struct(
+                    Fx.lit("text").alias("kind"), x.alias("text"),
+                    Fx.lit(None).cast("string").alias("media_ref"),
+                    i.cast("int").alias("offset"))).alias("spans"))
+        kept = kept_text_spans(docs).persist()
+        reg = resolve(docs, scan(docs, kept=kept), kept=kept)
+        for n_ax in (2, 8):
+            t0 = time.time()
+            verify(docs, reg, axes=tuple(range(1, n_ax + 1)), kept=kept) \
+                .write.format("noop").mode("overwrite").save()
+            timings[f"levels_verify_axes{n_ax}"] = round(time.time() - t0, 3)
+        kept.unpersist()
     finally:
         spark.stop()
 

@@ -41,6 +41,21 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (1, 2) in got  # identical after norm: all bands agree
 
 
+def test_minhash_band_buckets_narrow_equals_exploded(docs):
+    """The fused zero-shuffle bucketing must produce byte-identical band
+    hashes to the exploded signatures+bands formulation, and its plan must
+    contain no Exchange."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import minhash_band_buckets
+    a = minhash_band_buckets(docs, n_hashes=16, rows_per_band=4, k=3)
+    b = minhash_bands(minhash_signatures(docs, n_hashes=16, k=3), 4)
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b and rows_a
+    plan = a._sc._jvm.PythonSQLUtils.explainString(
+        a._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+
+
 def test_jaccard(docs):
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in jaccard_pairs(docs.filter("doc_id in (1,2,3)")).collect()}

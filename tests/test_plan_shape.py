@@ -56,6 +56,31 @@ def test_extract_fused_has_no_exchange(spark):
     assert "FlatMapsInPandas" in p or "MapInPandas" in p
 
 
+def test_jaccard_candidates_prune_before_aggregate(spark):
+    """With candidates, the intersection aggregate's input must be joined
+    THROUGH the candidate pair frame — the quadratic all-pairs token
+    self-join must not exist anywhere in the plan."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import jaccard_pairs
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared here") for i in range(6)],
+        "doc_id int, text string")
+    cand = spark.createDataFrame([(0, 1), (2, 3)], "id_a int, id_b int")
+    q = jaccard_pairs(docs, candidates=cand, k=1)
+    # results stay correct
+    got = {(r["id_a"], r["id_b"]) for r in q.collect()}
+    assert got == {(0, 1), (2, 3)}
+    # plan shape: the all-pairs path is betrayed by its `id_a < id_b`
+    # post-join filter (exprIds vary: id_a#12L < id_b#34L) — it must not
+    # appear anywhere in the candidate-driven plan
+    import re
+    p = plan(q)
+    assert not re.search(r"id_a#\d+L? < id_b#\d+", p), \
+        "all-pairs self-join filter found in candidate-driven plan"
+    # and the candidate pair frame IS one of the join inputs (its columns
+    # appear as join keys of an equi-join on id_a)
+    assert re.search(r"Join.*id_a#\d+", p, re.DOTALL)
+
+
 def test_vote_partial_aggregation(spark):
     """The vote agg must use hash aggregation (map-side partials)."""
     from vlm_ocr_doc_reader_spark.operators.vote import majority_vote

@@ -546,9 +546,12 @@ GROUP BY id, seed
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """Candidate pairs via the fused narrow bucketing (zero-shuffle hash
+    computation; the exploded signatures+bands formulation is the oracle)."""
+    from .datapipe.dedup import minhash_band_buckets
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signatures(d, n_hashes=8, k=3)
-    return minhash_candidate_pairs(minhash_bands(sig, rows_per_band=2))
+    return minhash_candidate_pairs(
+        minhash_band_buckets(d, n_hashes=8, rows_per_band=2, k=3))
 
 
 ORACLE_MINHASH_PAIRS = f"""
@@ -1224,9 +1227,10 @@ def q_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup dedup at scale shape: MinHash-LSH proposes
     candidate pairs, exact shingle Jaccard disposes — the candidate pruning
     reaches the token join (no all-pairs stage anywhere)."""
+    from .datapipe.dedup import minhash_band_buckets
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signatures(d, n_hashes=8, k=3)
-    cand = minhash_candidate_pairs(minhash_bands(sig, rows_per_band=2))
+    cand = minhash_candidate_pairs(
+        minhash_band_buckets(d, n_hashes=8, rows_per_band=2, k=3))
     return (jaccard_pairs(d, candidates=cand, k=3)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 

@@ -67,24 +67,56 @@ def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
               .distinct())
 
 
+def _shingle_array(k: int, text_col: str):
+    """Column expr: the k-word shingle array of the normalized text (may
+    contain duplicates — harmless for min-based signatures)."""
+    words = F.split(_norm(F.col(text_col)), " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def _signature_array(k: int, n_hashes: int, text_col: str):
+    """Column expr: array of n_hashes minhashes, index = seed.  min over a
+    multiset equals min over its distinct set, so no dedup is needed and the
+    whole signature is ONE narrow per-row expression — no explode, no
+    shuffle (the classic explode+groupBy formulation ships n_hashes x
+    shingles rows through an exchange; this ships zero)."""
+    sh = _shingle_array(k, text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(F.transform(
+            sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit(":"), x)))))
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 16, k: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """MinHash signature per doc: for seed s, min over shingles of
     md5(s || shingle) (lexicographic min of the hex digest — deterministic
-    and portable to any SQL engine).  Output: (id, seed, minhash)."""
-    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    hashed = sh.select("id", seeds, "shingle").withColumn(
-        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                            F.col("shingle"))))
-    return (hashed.groupBy("id", "seed")
-            .agg(F.min("h").alias("minhash")))
+    and portable to any SQL engine).  Output: (id, seed, minhash).
+
+    Computed entirely row-wise (narrow): the only non-map operator in the
+    plan is the final posexplode, which is also narrow — at 100 TB this
+    stage shuffles NOTHING (it used to be an explode + groupBy exchange).
+    """
+    return (df.select(F.col(id_col).alias("id"),
+                      _signature_array(k, n_hashes, text_col).alias("_sig"))
+            .select("id",
+                    F.posexplode("_sig").alias("seed", "minhash")))
 
 
 def minhash_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """LSH banding: band_hash = md5 of the concatenated minhashes of the
-    band.  Output: (id, band_idx, band_hash)."""
+    """LSH banding from an exploded (id, seed, minhash) signature frame:
+    band_hash = md5 of the concatenated minhashes of the band.
+    Output: (id, band_idx, band_hash).
+
+    This form shuffles on (id, band_idx); when you control the upstream,
+    prefer ``minhash_band_buckets`` which computes the same hashes with NO
+    shuffle at all."""
     return (signatures
             .withColumn("band_idx",
                         F.floor(F.col("seed") / rows_per_band).cast("int"))
@@ -93,6 +125,32 @@ def minhash_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
                 F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
                                            F.col("minhash"))))))
                  .alias("band_hash")))
+
+
+def minhash_band_buckets(df: DataFrame, n_hashes: int = 16,
+                         rows_per_band: int = 4, k: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Fused narrow MinHash-LSH bucketing: text -> (id, band_idx, band_hash)
+    with ZERO shuffle — signature and band hashes are per-row array
+    expressions, the final posexplode is narrow.  Byte-identical hashes to
+    ``minhash_bands(minhash_signatures(...))`` (same "seed:minhash" strings,
+    same sort, same md5 — the classic formulation is kept as the oracle).
+
+    At 100 TB this makes the whole candidate-generation pipeline one map
+    stage followed by a single bucket-join shuffle."""
+    n_bands = n_hashes // rows_per_band
+    sig = _signature_array(k, n_hashes, text_col)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.concat_ws("|", F.array_sort(F.transform(
+            F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+            lambda s: F.concat_ws(":", s.cast("string"),
+                                  F.get(F.col("_sig"), s)))))))
+    return (with_sig
+            .select("id", F.posexplode(bands).alias("band_idx", "band_hash"))
+            .withColumn("band_idx", F.col("band_idx").cast("int")))
 
 
 def minhash_candidate_pairs(bands: DataFrame,
@@ -115,7 +173,8 @@ def minhash_candidate_pairs(bands: DataFrame,
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                   k: int = 1, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  persist_intermediate: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity.  Output: (id_a, id_b, jaccard double).
 
     With ``candidates`` (id_a, id_b — e.g. from ``minhash_candidate_pairs``)
@@ -127,16 +186,28 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
     Without candidates the all-pairs token self-join runs — only sane on
     small or pre-blocked inputs (the candidate path is the scale default;
     callers on raw corpora should always pass LSH candidates).
+
+    ``persist_intermediate``: the token table feeds three consumers (both
+    join sides + the size agg) and the candidate frame two — Catalyst
+    inlines common subplans per consumer, so without a persist the shingle
+    explode (and the caller's whole LSH pipeline under ``candidates``)
+    recomputes per branch.  On a cluster the equivalent cut is a checkpoint
+    of the two small frames.
     """
+    from pyspark import StorageLevel
     toks = shingles(df, k=k, id_col=id_col, text_col=text_col) if k > 1 \
         else tokens(df, id_col=id_col, text_col=text_col).withColumnRenamed(
             "token", "shingle")
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
+        if persist_intermediate:
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         ids = (cand.select(F.col("id_a").alias("id"))
                .union(cand.select("id_b")).distinct())
         # prune the token table to candidate members BEFORE anything heavy
         toks = toks.join(ids, "id", "left_semi")
+        if persist_intermediate:
+            toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
         ta = toks.select(F.col("id").alias("id_a"), "shingle")
         tb = toks.select(F.col("id").alias("id_b"), "shingle")
         inter = (cand.join(ta, "id_a")
@@ -144,6 +215,8 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                  .groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("n_inter")))
     else:
+        if persist_intermediate:
+            toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
         ta = toks.select(F.col("id").alias("id_a"), "shingle")
         tb = toks.select(F.col("id").alias("id_b"), "shingle")
         inter = (ta.join(tb, "shingle")
