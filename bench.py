@@ -274,6 +274,12 @@ def _write_bench_md(r: dict) -> None:
     ]
     for q, t in r["queries"].items():
         lines.append(f"| {q} | {t} |")
+    if "levels_verify_axes2" in r["queries"]:
+        lines += ["",
+                  "`levels_verify_axes2` vs `levels_verify_axes8`: verify "
+                  "derives its N vote samples from ONE corpus scan (the "
+                  "axis fan-out is a literal explode over a persisted "
+                  "pass), so wall time is ~flat in the axis count."]
     lines += ["", f"Headline: **{r['value']} docs/sec** end-to-end "
               f"extraction at local[{CPUS}].", ""]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -237,20 +237,39 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
 
 def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint: per token take the first ``bits`` bits of
-    md5(token); fingerprint bit i is 1 when more tokens set it than not.
-    Output: (id, simhash long).  conv()-based, so portable."""
-    t = tokens(df, id_col=id_col, text_col=text_col)
-    h = F.conv(F.substring(F.md5("token"), 1, bits // 4), 16, 10).cast("long")
-    t = t.withColumn("h", h)
-    bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
-               .otherwise(-1)).alias(f"b{i}")
-        for i in range(bits)]
-    agg = t.groupBy("id").agg(*bit_sums)
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0,
-                     F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    return agg.select("id", fp.alias("simhash"))
+    """SimHash fingerprint: per DISTINCT token take the first ``bits`` bits
+    of md5(token); fingerprint bit i is 1 when more tokens set it than not.
+    Output: (id, simhash long).  conv()-based, so portable.
+
+    Computed entirely row-wise: distinct tokens via ``array_distinct`` and
+    the ±1 bit sums via one ``aggregate`` fold over the per-row token-hash
+    array — ZERO shuffles (the exploded formulation paid a distinct exchange
+    plus a groupBy exchange; per-doc distinct equals per-row distinct, so
+    the results are identical — the gate oracle is the exploded form).
+    """
+    toks = F.array_distinct(F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda x: x != ""))
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10)
+                   .cast("long"))
+    # bit i of h == (h % 2^(i+1)) >= 2^i — pure integer ops, no variable
+    # shifts (Spark's shift functions take only literal counts)
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    zero = F.array_repeat(F.lit(0), bits)
+    sums = F.aggregate(
+        hs, zero,
+        lambda acc, h: F.zip_with(
+            acc, pows,
+            lambda a, p: a + F.when((h % (p + p)) >= p,
+                                    F.lit(1)).otherwise(F.lit(-1))))
+    fp = F.aggregate(
+        F.zip_with(sums, pows,
+                   lambda s, p: F.when(s > 0, p)
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # docs with zero tokens have no fingerprint (the exploded formulation
+    # emits no row for them; the gate oracle mirrors that)
+    return (df.select(F.col(id_col).alias("id"), toks.alias("_t"),
+                      fp.alias("simhash"))
+            .filter(F.size("_t") > 0).drop("_t"))
