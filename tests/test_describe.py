@@ -24,6 +24,8 @@ from vlm_ocr_doc_reader_spark.sources.readers import DOCUMENTS_SCHEMA
     ("This Is A Longer Heading Title", 3,
      "This Is A Longer Heading Title"),
     ("##", 2, ""),
+    ("Раздел Один", 1, "Раздел Один"),          # unicode heading
+    ("### Раздел Два Снова", 3, "Раздел Два Снова"),
 ])
 def test_heading_level_spec(cleaned, level, title):
     assert spec.heading_level(cleaned) == level
@@ -33,7 +35,8 @@ def test_heading_level_spec(cleaned, level, title):
 def test_heading_level_column_parity(spark):
     vals = ["# Top", "## Second Level", "###### Deep", "######### Capped",
             "Short", "Two Words", "Three Word Title", "A Four Word Title",
-            "This Is A Longer Heading Title", "##"]
+            "This Is A Longer Heading Title", "##",
+            "Раздел Один", "### Раздел Два Снова"]
     df = spark.createDataFrame([(v,) for v in vals], "c string")
     got = df.select(heading_level_col(F.col("c")).alias("l"),
                     heading_title_col(F.col("c")).alias("t")).collect()

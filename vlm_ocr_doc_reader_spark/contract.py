@@ -1008,6 +1008,86 @@ FROM ids LEFT JOIN t USING (doc_id) LEFT JOIN h USING (doc_id)
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails -> IPs -> phones, counted and redacted); the
+    input synthesizes deterministic PII per doc so every row exercises all
+    three detectors."""
+    from .datapipe.scrub import redact_pii
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"), F.lit("."))
+    return (redact_pii(d.select("doc_id", t.alias("text")))
+            .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted"))
+
+
+def _oracle_pii_redact() -> str:
+    from .datapipe.scrub import (EMAIL_RE, EMAIL_TOKEN, IP_RE, IP_TOKEN,
+                                 PHONE_RE, PHONE_TOKEN)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR) || '.' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER)
+           AS n_emails,
+         regexp_replace(t, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
+  FROM m
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{IP_RE}')) AS INTEGER) AS n_ips,
+         regexp_replace(t1, '{IP_RE}', '{IP_TOKEN}', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
+FROM s2
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition stats; the text is self-concatenated so the
+    duplicate-token detectors always have work."""
+    from .datapipe.scrub import repetition_stats
+    d = load(spark, sf_dir, "documents")
+    t = F.concat_ws(" ", F.col("text"), F.col("text"))
+    return repetition_stats(d.select("doc_id", t.alias("text")))
+
+
+ORACLE_REPETITION = """
+WITH m AS (SELECT doc_id, text || ' ' || text AS text FROM documents),
+toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS t
+    FROM m) WHERE t <> ''
+), per AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+s AS (SELECT doc_id, sum(c) AS n, count(*) AS u, max(c) AS top
+      FROM per GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(u, 0) AS BIGINT) AS n_distinct,
+       round(CASE WHEN coalesce(n, 0) > 0
+             THEN 1.0 - CAST(u AS DOUBLE) / n ELSE 0 END, 6) AS dup_ratio,
+       round(CASE WHEN coalesce(n, 0) > 0
+             THEN CAST(top AS DOUBLE) / n ELSE 0 END, 6) AS top_word_ratio
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash(d)
@@ -1387,6 +1467,8 @@ QUERIES = {
     "dedup_pipeline": q_dedup_pipeline,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
 }
 
 ORACLES = {
@@ -1437,4 +1519,6 @@ ORACLES = {
     "dedup_pipeline": _oracle_dedup_pipeline(),
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
+    "pii_redact": _oracle_pii_redact(),
+    "repetition": ORACLE_REPETITION,
 }
