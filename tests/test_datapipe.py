@@ -135,6 +135,19 @@ def test_multimodal_stub_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=1000).collect()
     assert [r["ts_ms"] for r in plan] == [0, 1000, 2000]
 
+    # resize: schema preserved, meta width/height updated, deterministic
+    from vlm_ocr_doc_reader_spark.datapipe.multimodal import resize_media
+    small = resize_media(media, 32, 24)
+    assert small.schema == media.schema
+    rs = {r["media_ref"]: r for r in small.collect()}
+    assert rs["img_1"]["meta"]["width"] == 32
+    assert rs["img_1"]["meta"]["height"] == 24
+    assert rs["img_1"]["meta"]["format"] == "png"   # untouched meta survives
+    assert rs["img_1"]["payload"] != b"\x89PNG fake"
+    assert rs["img_1"]["payload"] == \
+        {r["media_ref"]: r for r in resize_media(media, 32, 24)
+         .collect()}["img_1"]["payload"]
+
     with pytest.raises(NotImplementedError):
         decode_image(b"x")
 

@@ -89,6 +89,35 @@ def extract_media_features(media: DataFrame,
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int, height: int,
+                 use_stub: bool = True) -> DataFrame:
+    """Arrow-batched image resize over the media table: same schema out,
+    payload replaced by the resized encoding and ``meta.width/height``
+    updated.  The decode->resize->encode kernel needs PIL (absent here), so
+    the stub emits a deterministic sha256(payload | WxH) digest payload —
+    the Spark plumbing (mapInPandas batches, struct-column rebuild, schema)
+    is real and tested; swap ``_stub_resize`` for a PIL kernel on a cluster
+    image that ships one.
+    """
+    if not use_stub:
+        decode_image(b"")  # raises NotImplementedError with guidance
+
+    def _stub_resize(payload: bytes) -> bytes:
+        return hashlib.sha256(
+            (payload or b"") + f"|{width}x{height}".encode()).digest()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [_stub_resize(p) for p in pdf["payload"]]
+            out["meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]]
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame timestamp to decode.
     The decode itself is the stubbed kernel; the plan is pure Catalyst
