@@ -31,6 +31,9 @@ def extract_doc(spans: List[InSpan]) -> List[OutSpan]:
     for kind, text, media_ref, offset in spans:
         if offset is None or kind is None:
             continue  # defensive quarantine (P5): malformed spans drop
+        if kind == "boilerplate" or kind == "link":
+            continue  # classify_keep drops these for ANY cleaned text —
+            #            skipping the parse/clean work is behavior-identical
         offset = int(offset)
         bbox = spec.parse_bbox(text)
         wo_bbox = spec.strip_bbox(text)

@@ -88,8 +88,12 @@ _ASCII_WS = " \t\n\r\f\v"
 # ---------------------------------------------------------------------------
 
 def parse_bbox(text: Optional[str]) -> Optional[Tuple[int, int, int, int]]:
-    """Extract the bbox prefix, if present."""
-    if not text:
+    """Extract the bbox prefix, if present.
+
+    The ``startswith`` pre-check is a pure fast path: BBOX_RE is anchored at
+    ^@@bbox:, so a non-prefixed string can never match.
+    """
+    if not text or not text.startswith("@@bbox:"):
         return None
     m = _bbox_c.match(text)
     if not m:
@@ -100,11 +104,19 @@ def parse_bbox(text: Optional[str]) -> Optional[Tuple[int, int, int, int]]:
 def strip_bbox(text: Optional[str]) -> str:
     if not text:
         return ""
+    if not text.startswith("@@bbox:"):  # fast path: anchored regex
+        return text
     return _bbox_c.sub("", text)
 
 
 def extract_anchors(text_wo_bbox: str) -> List[str]:
-    """Media refs referenced by this span, in order of appearance."""
+    """Media refs referenced by this span, in order of appearance.
+
+    '[[': every ANCHOR_RE match contains that literal, so its absence is a
+    guaranteed miss (fast path).
+    """
+    if "[[" not in text_wo_bbox:
+        return []
     return _anchor_c.findall(text_wo_bbox)
 
 
@@ -113,9 +125,11 @@ def clean_text(text_wo_bbox: str) -> str:
 
     Anchors are replaced by a single space BEFORE whitespace collapse, so the
     Spark expression ``trim(regexp_replace(regexp_replace(x, ANCHOR, ' '),
-    '\\s+', ' '))`` is exactly equivalent.
+    '\\s+', ' '))`` is exactly equivalent.  The '[[' check is a pure fast
+    path (see extract_anchors).
     """
-    t = _anchor_c.sub(" ", text_wo_bbox)
+    t = _anchor_c.sub(" ", text_wo_bbox) if "[[" in text_wo_bbox \
+        else text_wo_bbox
     return _ws_c.sub(" ", t).strip(_ASCII_WS)
 
 
