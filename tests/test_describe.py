@@ -45,6 +45,31 @@ def test_heading_level_column_parity(spark):
         assert r["t"] == spec.heading_title(v), v
 
 
+def test_heading_level_parity_fuzz(spark):
+    """300 seeded pseudo-random cleaned-heading strings (hash runs, words,
+    single spaces — the post-clean_text alphabet): spec and Catalyst twins
+    must agree on every (level, title)."""
+    import random
+    rng = random.Random(31)
+    vals = []
+    for _ in range(300):
+        parts = []
+        if rng.random() < 0.5:
+            parts.append("#" * rng.randint(1, 9))
+            if rng.random() < 0.8:
+                parts.append(" ")
+        parts.append(" ".join(
+            rng.choice(["Alpha", "beta", "Γάμμα", "дельта", "x"])
+            for _ in range(rng.randint(0, 7))).strip())
+        vals.append("".join(parts).strip())
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    got = df.select(heading_level_col(F.col("c")).alias("l"),
+                    heading_title_col(F.col("c")).alias("t")).collect()
+    for v, r in zip(vals, got):
+        assert r["l"] == spec.heading_level(v), repr(v)
+        assert r["t"] == spec.heading_title(v), repr(v)
+
+
 @pytest.fixture()
 def docs(spark):
     rows = [
