@@ -39,6 +39,33 @@ def test_fused_raw_equals_fused(corpus_df):
     assert not diff, f"{len(diff)} docs differ; first: {diff[0]}"
 
 
+def test_flat_fused_equals_flat_declarative(corpus_df):
+    """extract_flat_fused (Catalyst classify + ONE grouped Arrow stage) must
+    equal the declarative flat pipeline row-for-row."""
+    from vlm_ocr_doc_reader_spark.plans.extract import (extract_flat,
+                                                        extract_flat_fused)
+    a = sorted(map(tuple, extract_flat(corpus_df).collect()))
+    b = sorted(map(tuple, extract_flat_fused(corpus_df).collect()))
+    assert a == b and a
+
+
+def test_fused_nested_equals_default(corpus_df):
+    """fused_extract_nested (classified kept spans -> nested in one grouped
+    stage) must match the default whole-row fused strategy for docs that
+    survive classification (it has no empty-doc repair by design — callers
+    needing the empty-row contract use extract())."""
+    from vlm_ocr_doc_reader_spark.operators.fused import fused_extract_nested
+    from vlm_ocr_doc_reader_spark.plans.extract import _kept_spans
+    a = {r["doc_id"]: r["spans"]
+         for r in extract(corpus_df, strategy="fused").collect()}
+    b = {r["doc_id"]: r["spans"]
+         for r in fused_extract_nested(
+             _kept_spans(corpus_df, persist_parsed=False)).collect()}
+    assert set(b) == {d for d, s in a.items() if s}
+    diff = [d for d in b if a[d] != b[d]]
+    assert not diff, f"{len(diff)} docs differ; first: {diff[0]}"
+
+
 def test_fused_raw_keeps_all_pruned_docs(spark):
     """A doc whose spans are ALL boilerplate/link must still emit its row
     with an empty spans array (the repair union after the prefilter)."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .datapipe.dedup import (exact_duplicates, jaccard_pairs, minhash_bands,
+from .datapipe.dedup import (exact_duplicates, jaccard_pairs,
                              minhash_candidate_pairs, minhash_signatures,
                              simhash)
 from .datapipe.similarity import brute_force_topk
