@@ -25,12 +25,22 @@ OutSpan = Tuple[str, str, Optional[str], int]
 
 
 def extract_doc(spans: List[InSpan]) -> List[OutSpan]:
-    """Extract the ordered main-content span sequence of one document."""
+    """Extract the ordered main-content span sequence of one document.
+
+    The ``offset`` field IS the span's document position (input_hint), so
+    the input is canonicalized to offset order first — the spans ARRAY
+    order carries no meaning.  This pins first-occurrence semantics
+    (e.g. which duplicate media_ref span is primary) to offsets, making
+    every execution strategy agree on inputs whose array order is shuffled
+    (found by tests/test_adversarial_fuzz.py).
+    """
+    # 0. quarantine (P5) + canonical offset order
+    spans = sorted(
+        (s for s in spans if s[3] is not None and s[0] is not None),
+        key=lambda s: s[3])
     # 1. parse + clean + classify
     kept = []  # dicts with kind, cleaned, media_ref, offset, bbox, anchors
     for kind, text, media_ref, offset in spans:
-        if offset is None or kind is None:
-            continue  # defensive quarantine (P5): malformed spans drop
         if kind == "boilerplate" or kind == "link":
             continue  # classify_keep drops these for ANY cleaned text —
             #            skipping the parse/clean work is behavior-identical
