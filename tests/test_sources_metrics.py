@@ -20,6 +20,28 @@ def test_read_documents_enforced_schema(spark, tmp_path):
     assert df.count() == 10
 
 
+def test_json_and_orc_sources_roundtrip(spark, tmp_path):
+    """Same corpus through JSONL and ORC sources -> identical extraction
+    output to the parquet path (source format is orthogonal to the plan)."""
+    from vlm_ocr_doc_reader_spark.plans.extract import extract
+    from vlm_ocr_doc_reader_spark.sources.readers import (
+        read_documents, read_documents_json, read_documents_orc)
+    docs = generate_documents(20, seed=8, mega_spans=100, include_edge=False)
+    pq = str(tmp_path / "d.parquet")
+    write_documents_parquet(docs, pq)
+    base = read_documents(spark, pq)
+    jl, orc = str(tmp_path / "d.jsonl"), str(tmp_path / "d.orc")
+    base.write.json(jl)
+    base.write.orc(orc)
+    want = {r["doc_id"]: r["spans"] for r in extract(base).collect()}
+    for reader, path in ((read_documents_json, jl),
+                         (read_documents_orc, orc)):
+        df = reader(spark, path)
+        assert df.schema.simpleString() == base.schema.simpleString()
+        got = {r["doc_id"]: r["spans"] for r in extract(df).collect()}
+        assert got == want, reader.__name__
+
+
 def test_quarantine_unknown_kinds(spark):
     rows = [("d1", [("text", "Good sentence here today.", None, 0),
                     ("blob", "???", None, 1),

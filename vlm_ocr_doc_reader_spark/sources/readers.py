@@ -65,6 +65,27 @@ def with_content_hash(df: DataFrame) -> DataFrame:
         "content_hash", F.sha2(F.to_json(F.struct("doc_id", "spans")), 256))
 
 
+def read_documents_json(spark: SparkSession, path: str,
+                        enforce: bool = True) -> DataFrame:
+    """JSON-lines variant of the judged input table — same pinned schema
+    (never inferred), same null-id enforcement.  For corpora landed as
+    JSONL exports rather than parquet; downstream plans are identical."""
+    df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    if enforce:
+        df = df.filter(F.col("doc_id").isNotNull())
+    return df
+
+
+def read_documents_orc(spark: SparkSession, path: str,
+                       enforce: bool = True) -> DataFrame:
+    """ORC variant of the judged input table (columnar alternative with the
+    same pushdown/pruning properties as parquet)."""
+    df = spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
+    if enforce:
+        df = df.filter(F.col("doc_id").isNotNull())
+    return df
+
+
 def read_binary_docs(spark: SparkSession, path: str,
                      glob: str = "*.pdf") -> DataFrame:
     """S1 landing zone: raw files as (path, modificationTime, length,
