@@ -785,6 +785,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (batch form of session windows):
+    per-user sessions split at >30-min gaps, one exchange total."""
+    from .datapipe.sessions import with_session_id
+    ev = load(spark, sf_dir, "events")
+    s = with_session_id(ev, gap_minutes=30)
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+                 F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+ORACLE_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_sanitize(spark, sf_dir):
     """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
     from .functions.normalize import sanitize_filename_col
@@ -1469,6 +1504,7 @@ QUERIES = {
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
     "repetition": q_repetition,
+    "sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -1521,4 +1557,5 @@ ORACLES = {
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),
     "repetition": ORACLE_REPETITION,
+    "sessionize": ORACLE_SESSIONIZE,
 }
