@@ -820,6 +820,39 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (union-and-carry, ONE exchange, no
+    range join): each click gets the latest view value of the same user at
+    or before its timestamp; oracle is DuckDB's native ASOF JOIN."""
+    from .datapipe.asof import asof_join
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts", "value")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("view_value")))
+    out = asof_join(clicks, views, on=["user_id"], ts_col="ts",
+                    value_cols=["view_value"])
+    return out.select("event_id", "user_id",
+                      F.unix_timestamp("ts").alias("ts_epoch"),
+                      F.round("asof_view_value", 4).alias("last_view_value"))
+
+
+ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max(value) AS view_value FROM events
+  WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       round(v.view_value, 4) AS last_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
 def q_sanitize(spark, sf_dir):
     """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
     from .functions.normalize import sanitize_filename_col
@@ -1505,6 +1538,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "repetition": q_repetition,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
 }
 
 ORACLES = {
@@ -1558,4 +1592,5 @@ ORACLES = {
     "pii_redact": _oracle_pii_redact(),
     "repetition": ORACLE_REPETITION,
     "sessionize": ORACLE_SESSIONIZE,
+    "asof_join": ORACLE_ASOF,
 }
