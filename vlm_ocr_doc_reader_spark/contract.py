@@ -853,6 +853,46 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Chunked range join (equi-join on time buckets + residual BETWEEN —
+    never a theta join): count each user's events inside their own session
+    intervals; self-validating against sessionize's n_events."""
+    from .datapipe.ranges import range_join
+    from .datapipe.sessions import session_summary
+    ev = load(spark, sf_dir, "events")
+    sess = session_summary(ev, gap_minutes=30)
+    joined = range_join(ev.select("user_id", "ts", "event_id"), sess,
+                        on=["user_id"], ts_col="ts",
+                        start_col="session_start", end_col="session_end",
+                        chunk_seconds=3600)
+    return (joined.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_in_range")))
+
+
+ORACLE_RANGE_JOIN = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM o
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY 1, 2
+)
+SELECT sess.user_id, sess.session_id, count(*) AS n_in_range
+FROM sess JOIN events e
+  ON e.user_id = sess.user_id AND e.ts BETWEEN sess.st AND sess.en
+GROUP BY 1, 2
+"""
+
+
 def q_sanitize(spark, sf_dir):
     """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
     from .functions.normalize import sanitize_filename_col
@@ -1539,6 +1579,7 @@ QUERIES = {
     "repetition": q_repetition,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
@@ -1593,4 +1634,5 @@ ORACLES = {
     "repetition": ORACLE_REPETITION,
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF,
+    "range_join": ORACLE_RANGE_JOIN,
 }
