@@ -30,6 +30,29 @@ def test_sessionize_hand_computed(spark):
     assert summ == {(1, 1): 2, (1, 2): 1, (1, 3): 2, (2, 1): 1}
 
 
+def test_time_rollup_reaggregates_consistently(spark):
+    """Day buckets are sums of the hour level; both levels total the raw."""
+    from vlm_ocr_doc_reader_spark.datapipe.sessions import time_rollup
+    rows = [(i, datetime(2024, 1, 1 + i // 30, (i * 3) % 24, i % 60),
+             "click" if i % 2 else "view", float(i)) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, event_type string, value double")
+    out = time_rollup(df, levels=("hour", "day")).collect()
+    hours = [r for r in out if r["level"] == "hour"]
+    days = [r for r in out if r["level"] == "day"]
+    assert sum(r["n_events"] for r in hours) == 90
+    assert sum(r["n_events"] for r in days) == 90
+    assert abs(sum(r["sum_value"] for r in days)
+               - sum(float(i) for i in range(90))) < 1e-6
+    # every day bucket equals the sum of its hour buckets
+    from collections import defaultdict
+    agg = defaultdict(int)
+    for r in hours:
+        agg[(r["bucket"].date(), r["key"])] += r["n_events"]
+    for r in days:
+        assert agg[(r["bucket"].date(), r["key"])] == r["n_events"]
+
+
 def test_sessionize_single_exchange(spark):
     df = spark.createDataFrame(
         [_ev(1, 1, 0)], "event_id int, user_id int, ts timestamp")

@@ -893,6 +893,36 @@ GROUP BY 1, 2
 """
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour buckets from raw, day
+    buckets re-aggregated from the hour level (sums of sums)."""
+    from .datapipe.sessions import time_rollup
+    ev = load(spark, sf_dir, "events")
+    out = time_rollup(ev, levels=("hour", "day"))
+    return out.select("level",
+                      F.unix_timestamp("bucket").alias("bucket_epoch"),
+                      "key", "n_events",
+                      F.round("sum_value", 4).alias("sum_value"))
+
+
+ORACLE_TIME_ROLLUP = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type AS key,
+         count(*) AS n_events, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT date_trunc('day', bucket) AS bucket, key,
+         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+  FROM h GROUP BY 1, 2
+)
+SELECT 'hour' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_epoch,
+       key, n_events, round(sum_value, 4) AS sum_value FROM h
+UNION ALL
+SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), key, n_events,
+       round(sum_value, 4) FROM d
+"""
+
+
 def q_sanitize(spark, sf_dir):
     """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
     from .functions.normalize import sanitize_filename_col
@@ -1580,6 +1610,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "time_rollup": q_time_rollup,
 }
 
 ORACLES = {
@@ -1635,4 +1666,5 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
+    "time_rollup": ORACLE_TIME_ROLLUP,
 }

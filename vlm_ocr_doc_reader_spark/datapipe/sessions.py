@@ -47,6 +47,35 @@ def with_session_id(events: DataFrame, gap_minutes: int = 30,
             .drop("_new"))
 
 
+def time_rollup(events: DataFrame, levels: tuple[str, ...] = ("hour", "day"),
+                ts_col: str = "ts", key_col: str = "event_type",
+                value_col: str = "value") -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the finest level
+    aggregates the raw events ONCE; every coarser level re-aggregates the
+    previous level (sums of sums), never rescanning raw data — the
+    TimescaleDB continuous-aggregate pattern as a Spark DAG.
+
+    Output: (level, bucket timestamp, key, n_events, sum_value), one row
+    per bucket per key per level.  At 100 TB the raw scan happens once and
+    each rollup shuffles only the (tiny) previous level."""
+    finest = levels[0]
+    cur = (events.groupBy(
+        F.date_trunc(finest, F.col(ts_col)).alias("bucket"),
+        F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(value_col).alias("sum_value"))
+        .withColumn("level", F.lit(finest)))
+    out = cur
+    for lv in levels[1:]:
+        cur = (cur.groupBy(
+            F.date_trunc(lv, F.col("bucket")).alias("bucket"), "key")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_value").alias("sum_value"))
+            .withColumn("level", F.lit(lv)))
+        out = out.unionByName(cur)
+    return out.select("level", "bucket", "key", "n_events", "sum_value")
+
+
 def session_summary(events: DataFrame, gap_minutes: int = 30,
                     user_col: str = "user_id", ts_col: str = "ts",
                     tiebreak_col: str = "event_id") -> DataFrame:
