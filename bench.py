@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dim_join_rollup", "upsert_merge", "chunking", "vote", "dedup_exact",
     "minhash_pairs", "cosine_topk", "quality", "lang_id", "fingerprint",
     "dedup_pipeline", "lsh_topk", "full_description", "levels_verify",
+    "sessionize", "asof_join", "range_join", "time_rollup", "pii_redact",
+    "repetition",
 ]
 
 
