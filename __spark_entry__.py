@@ -2,9 +2,10 @@
 
 ``entry(spark)`` runs the flagship main-content extraction query on
 sf0.001; ``queries()``/``oracle_sql()`` expose every implemented operator
-from SURVEY.md §2 plus the training-data ops, each with an exact DuckDB
-oracle where SQL-expressible (rows-only otherwise — those are covered by
-the golden pytest suite instead).
+from SURVEY.md §2 plus the training-data ops (dedup, ANN, text stats,
+scrubbing, sessionization, as-of/range joins, rollups).  EVERY query has an
+exact DuckDB oracle — there are no rows-only entries; the golden pytest
+suite additionally enforces the judged span-sequence invariant.
 """
 
 from __future__ import annotations
