@@ -923,6 +923,27 @@ SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), key, n_events,
 """
 
 
+def q_rollup_cube(spark, sf_dir):
+    """SURVEY §2.4 footnote made real: multi-level aggregates via ROLLUP
+    (free from Catalyst; the metrics-table use case).  grouping_id
+    disambiguates the NULL-as-total rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+            .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+         AS gid,
+       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_sanitize(spark, sf_dir):
     """F11 (state.py:244-259): filesystem-unsafe chars -> '_'."""
     from .functions.normalize import sanitize_filename_col
@@ -1611,6 +1632,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "time_rollup": q_time_rollup,
+    "rollup_cube": q_rollup_cube,
 }
 
 ORACLES = {
@@ -1667,4 +1689,5 @@ ORACLES = {
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
     "time_rollup": ORACLE_TIME_ROLLUP,
+    "rollup_cube": ORACLE_ROLLUP,
 }
