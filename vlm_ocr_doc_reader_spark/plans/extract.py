@@ -46,6 +46,9 @@ def _kept_spans(documents: DataFrame,
     from ..operators.classify import classify
     spans = explode_spans(documents).filter(
         F.col("offset").isNotNull() & F.col("kind").isNotNull())
+    # NOTE: prefiltering boilerplate/link kinds here was measured (A/B,
+    # interleaved, local[8]) and does NOT help: the keep CaseWhen already
+    # short-circuits those branches, so the filter only adds a pass.
     parsed = classify(spans)
     if persist_parsed:
         from pyspark import StorageLevel
