@@ -54,3 +54,57 @@ def test_incremental_stream_equals_batch(spark, tmp_path):
     batch = {r["doc_id"]: r["spans"]
              for r in extract(spark.read.parquet(in_dir)).collect()}
     assert streamed == batch
+
+
+def test_streaming_kill_then_resume(spark, tmp_path):
+    """Chaos: SIGKILL a live run_incremental subprocess mid-stream, then
+    re-run — the checkpoint may replay the batch and orphan outputs may
+    exist, but the manifest anti-join makes replays no-ops and
+    read_committed drops orphans: the committed view equals batch extract
+    with zero duplicate docs.  Valid even if the kill lands after
+    completion (the rerun is then a pure no-op)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    docs = generate_documents(50, seed=21, mega_spans=300,
+                              include_edge=False)
+    write_documents_parquet(docs, f"{in_dir}/part.parquet")
+
+    code = (
+        "from vlm_ocr_doc_reader_spark.sources.session import get_spark\n"
+        "from vlm_ocr_doc_reader_spark.streaming.incremental import "
+        "run_incremental\n"
+        "s = get_spark(master='local[2]', "
+        "extra_conf={'spark.ui.enabled': 'false'})\n"
+        f"run_incremental(s, {in_dir!r}, {out_dir!r}, {state!r}, {ckpt!r})\n")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL, cwd="/root/repo")
+    time.sleep(13)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    # resume with the same checkpoint+state in-process
+    from vlm_ocr_doc_reader_spark.streaming.incremental import \
+        run_incremental as run_inc
+    run_inc(spark, in_dir, out_dir, state, ckpt)
+
+    from vlm_ocr_doc_reader_spark.state.manifest import read_committed
+    committed = read_committed(spark, out_dir, state, "extract")
+    n = spark.read.parquet(in_dir).count()
+    assert committed.count() == n
+    assert committed.select("doc_id").distinct().count() == n
+    clean = {r["doc_id"]: r["spans"]
+             for r in extract(spark.read.parquet(in_dir)).collect()}
+    got = {r["doc_id"]: r["spans"]
+           for r in committed.select("doc_id", "spans").collect()}
+    assert got == clean
