@@ -44,6 +44,17 @@ def test_cli_extract_end_to_end(spark, tmp_path):
     assert os.path.isdir(state)
 
 
+def test_cli_invalid_args_exit_code(tmp_path):
+    """Invalid --pages/--axes exit 2 before any Spark work (reference CLI
+    arg-validation parity: its tests/unit/test_cli.py:55-120)."""
+    rc = cli_main(["verify", "--input", str(tmp_path / "x"),
+                   "--registry", str(tmp_path / "r"), "--pages", "7-5"])
+    assert rc == 2
+    rc = cli_main(["verify", "--input", str(tmp_path / "x"),
+                   "--registry", str(tmp_path / "r"), "--axes", "0,1"])
+    assert rc == 2
+
+
 def test_cli_scan_resolve_verify(spark, tmp_path):
     docs = [("d1", [("text", "Contract id 7704123456 is stated here.",
                      None, 0)])]

@@ -124,6 +124,19 @@ def main(argv: list[str] | None = None) -> int:
             ps.add_argument("--axes", default="1,3,5")
 
     args = p.parse_args(argv)
+
+    # validate user args BEFORE paying the JVM boot; invalid values exit 2
+    # like the reference CLI's arg validation (cli.py:298-381, exit codes
+    # asserted in its tests/unit/test_cli.py:55-120)
+    try:
+        if getattr(args, "pages", None):
+            parse_pages_arg(args.pages)
+        if getattr(args, "axes", None):
+            parse_axes_arg(args.axes)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
     pre_existing = SparkSession.getActiveSession()
     spark = get_spark(master=args.master)
     try:
