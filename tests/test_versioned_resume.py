@@ -39,3 +39,17 @@ def test_changed_doc_is_reprocessed(spark, tmp_path):
     commit_phase(extract(todo), spark, state, "extract", input_docs=todo)
     assert pending_docs(v2, spark, state, "extract",
                         by_version=True).count() == 0
+
+    # compaction keeps only the LATEST (doc_id, phase) row — version-keyed
+    # resume semantics survive: current content stays clean, and reverting
+    # d1 to its ORIGINAL content makes it pending again (the old hash row
+    # was compacted away, which is the conservative/correct direction)
+    from vlm_ocr_doc_reader_spark.state.manifest import (compact_manifest,
+                                                         read_manifest)
+    kept = compact_manifest(spark, state)
+    assert kept == 2
+    assert read_manifest(spark, state).count() == 2
+    assert pending_docs(v2, spark, state, "extract",
+                        by_version=True).count() == 0
+    reverted = pending_docs(v1, spark, state, "extract", by_version=True)
+    assert [r["doc_id"] for r in reverted.collect()] == ["d1"]
