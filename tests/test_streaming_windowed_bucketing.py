@@ -38,6 +38,38 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
                for k in unemitted), "non-trailing window missing from stream"
 
 
+def test_session_window_counts(spark):
+    """Native session_window: hand-computed sessions; boundary semantics
+    match the batch gaps-and-islands operator — a gap EQUAL to the
+    threshold merges (touching windows), only gap > threshold splits."""
+    from datetime import datetime
+
+    from vlm_ocr_doc_reader_spark.streaming.windowed import \
+        session_window_counts
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    rows = [(1, t(0), 1, "click", 1.0, "{}"),
+            (2, t(10), 1, "click", 2.0, "{}"),   # same session (10m gap)
+            (3, t(40), 1, "click", 4.0, "{}"),   # gap == 30m threshold ->
+                                                 # touches [10,40) -> MERGES
+            (5, t(71), 1, "click", 16.0, "{}"),  # gap 31m > threshold ->
+                                                 # NEW session
+            (4, t(5), 2, "view", 8.0, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                r["sum_value"])
+           for r in session_window_counts(ev, gap="30 minutes").collect()}
+    assert got == {
+        (1, t(0)): (3, 7.0),
+        (1, t(71)): (1, 16.0),
+        (2, t(5)): (1, 8.0),
+    }
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

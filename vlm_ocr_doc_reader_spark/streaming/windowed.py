@@ -39,6 +39,31 @@ def windowed_event_counts(events: DataFrame,
                     "event_type", "n_events", "sum_value"))
 
 
+def session_window_counts(events: DataFrame,
+                          gap: str = "30 minutes",
+                          late_threshold: str = "2 hours") -> DataFrame:
+    """Native ``session_window`` aggregation (the streaming twin of the
+    batch gaps-and-islands in ``datapipe/sessions.py``): per-user sessions
+    close after ``gap`` of silence; with a watermark, closed sessions leave
+    the state store.
+
+    Boundary semantics MATCH the batch operator (pinned by test): an event
+    at exactly last_event + gap touches the open window [start,
+    last + gap) and MERGES into the session — i.e. sessions split only on
+    gap > threshold, same as the batch gaps-and-islands split.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", late_threshold)
+    return (src
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events", "sum_value"))
+
+
 def run_windowed_stream(spark: SparkSession, input_dir: str,
                         output_dir: str, checkpoint_dir: str,
                         window_len: str = "1 hour",
