@@ -100,6 +100,60 @@ def test_lsh_topk_agrees_on_top1(spark, emb):
     assert top.get(0) == 1 and top.get(1) == 0
 
 
+def test_lsh_topk_multiband_recall(spark, emb):
+    """Union of two independent plane bands must find at least what either
+    single band finds (here: it recovers the brute-force top-1)."""
+    import numpy as np
+    from vlm_ocr_doc_reader_spark.datapipe.similarity import lsh_topk_multiband
+    bands = [np.random.default_rng(s).normal(size=(4, 3)).tolist()
+             for s in (0, 1)]
+    out = lsh_topk_multiband(emb, bands, k=1).collect()
+    top = {r["qid"]: r["nbr_id"] for r in out}
+    assert top.get(0) == 1 and top.get(1) == 0
+
+
+def test_srp_bucket_cap_bounds_degenerate_cluster(spark):
+    """A dense near-identical cluster landing in one SRP bucket must be
+    dropped by the cap (bounded candidates), reported by
+    srp_dropped_buckets, and untouched when under the cap."""
+    import numpy as np
+    from vlm_ocr_doc_reader_spark.datapipe.similarity import (
+        embedding_near_dups, lsh_topk, srp_dropped_buckets)
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    rows = [(i, (base + rng.normal(scale=1e-3, size=8)).tolist())
+            for i in range(60)]                    # one degenerate cluster
+    rows += [(100 + i, rng.normal(size=8).tolist()) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    planes = rng.normal(size=(5, 8)).tolist()
+
+    capped = lsh_topk(e, planes, k=3, max_bucket=50)
+    # the 60-row cluster's bucket is dropped: no qid from it survives
+    assert capped.filter(F.col("qid") < 100).count() == 0
+    dropped = srp_dropped_buckets(e, planes, max_bucket=50).collect()
+    assert len(dropped) >= 1 and max(r["sz"] for r in dropped) >= 60
+
+    pairs = embedding_near_dups(e, threshold=0.0, planes=planes,
+                                max_bucket=50).count()
+    assert pairs <= 66 * 65 / 2 - 60 * 59 / 2  # cluster pairs never form
+
+    # under a generous cap the cluster is kept (no silent behavior change)
+    uncapped = lsh_topk(e, planes, k=3, max_bucket=1000)
+    assert uncapped.filter(F.col("qid") < 100).count() > 0
+
+
+def test_lsh_topk_has_no_id_self_join(spark, emb):
+    """The SRP bucket is computed inline: the plan must not shuffle the
+    vector table on the raw id column (the r2 bucket self-join did)."""
+    import numpy as np
+    import re
+    planes = np.random.default_rng(0).normal(size=(4, 3)).tolist()
+    q = lsh_topk(emb, planes, k=1)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert not re.search(r"hashpartitioning\(id#", plan)
+
+
 def test_embedding_near_dups(emb):
     # the exact all-pairs path needs an explicit opt-in (scale footgun guard)
     with pytest.raises(ValueError):

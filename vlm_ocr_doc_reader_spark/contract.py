@@ -1383,16 +1383,60 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(e, _PLANES_LSH, k=3)
 
 
-def _oracle_lsh_topk(k: int = 3) -> str:
+def _oracle_lsh_topk(k: int = 3, max_bucket: int = 1000) -> str:
     bucket = _duck_bucket(_PLANES_LSH)
     return f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-b AS (SELECT id, v, {bucket} AS bucket FROM e),
+b0 AS (SELECT id, v, {bucket} AS bucket FROM e),
+sized AS (SELECT bucket FROM b0 GROUP BY bucket
+          HAVING count(*) > 1 AND count(*) <= {max_bucket}),
+b AS (SELECT b0.* FROM b0 JOIN sized USING (bucket)),
 cand AS (
   SELECT a.id AS qid, c.id AS nbr_id,
          list_cosine_similarity(a.v, c.v) AS cos
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand
+)
+SELECT qid, nbr_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# two independent 8-plane bands for the multiband recall variant
+_PLANE_BANDS = [_srp_planes(21, 8), _srp_planes(22, 8)]
+
+
+def q_lsh_topk_multiband(spark, sf_dir):
+    """Multi-band SRP ANN: candidates unioned over two independent plane
+    sets — the recall knob that keeps per-band buckets small (and under the
+    degenerate-bucket cap) as the corpus grows."""
+    from .datapipe.similarity import lsh_topk_multiband
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk_multiband(e, _PLANE_BANDS, k=3)
+
+
+def _oracle_lsh_topk_multiband(k: int = 3, max_bucket: int = 1000) -> str:
+    per_band = []
+    for band, planes in enumerate(_PLANE_BANDS):
+        per_band.append(
+            f"SELECT id, v, {band} AS band, {_duck_bucket(planes)} AS bucket "
+            f"FROM e")
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+b0 AS ({' UNION ALL '.join(per_band)}),
+sized AS (SELECT band, bucket FROM b0 GROUP BY band, bucket
+          HAVING count(*) > 1 AND count(*) <= {max_bucket}),
+b AS (SELECT b0.* FROM b0 JOIN sized USING (band, bucket)),
+cand AS (
+  SELECT a.id AS qid, c.id AS nbr_id,
+         max(list_cosine_similarity(a.v, c.v)) AS cos
+  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+                   AND a.id <> c.id
+  GROUP BY a.id, c.id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY qid
             ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand
@@ -1446,12 +1490,16 @@ def q_near_dup_lsh(spark, sf_dir):
     return embedding_near_dups(e, threshold=0.3, planes=_PLANES_NEARDUP)
 
 
-def _oracle_near_dup_lsh(threshold: float = 0.3) -> str:
+def _oracle_near_dup_lsh(threshold: float = 0.3,
+                         max_bucket: int = 1000) -> str:
     bucket = _duck_bucket(_PLANES_NEARDUP)
     return f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-b AS (SELECT id, v, {bucket} AS bucket FROM e),
+b0 AS (SELECT id, v, {bucket} AS bucket FROM e),
+sized AS (SELECT bucket FROM b0 GROUP BY bucket
+          HAVING count(*) > 1 AND count(*) <= {max_bucket}),
+b AS (SELECT b0.* FROM b0 JOIN sized USING (bucket)),
 pairs AS (
   SELECT a.id AS id_a, c.id AS id_b,
          list_cosine_similarity(a.v, c.v) AS cos
@@ -1621,6 +1669,7 @@ QUERIES = {
     "levels_verify": q_levels_verify,
     "media_features": q_media_features,
     "lsh_topk": q_lsh_topk,
+    "lsh_topk_multiband": q_lsh_topk_multiband,
     "ivf_topk": q_ivf_topk,
     "near_dup_lsh": q_near_dup_lsh,
     "dedup_pipeline": q_dedup_pipeline,
@@ -1678,6 +1727,7 @@ ORACLES = {
     "levels_verify": _oracle_levels_verify(),
     "media_features": _oracle_media_features(),
     "lsh_topk": _oracle_lsh_topk(),
+    "lsh_topk_multiband": _oracle_lsh_topk_multiband(),
     "ivf_topk": _oracle_ivf_topk(),
     "near_dup_lsh": _oracle_near_dup_lsh(),
     "dedup_pipeline": _oracle_dedup_pipeline(),

@@ -5,14 +5,28 @@ Baseline: brute-force cosine top-k with built-in higher-order functions
 (sign-random-projection) search that prunes the candidate set to matching
 buckets before the exact re-rank, so the cross product never materializes.
 
+Scale shape of the SRP paths:
+  * the bucket is an inline per-row expression (``srp_bucket_expr``) — no
+    self-join of the vector table to its own bucket projection, so the only
+    exchange is the bucket-key shuffle of the pair join;
+  * every bucketed pair join is guarded by ``max_bucket`` (the same
+    degenerate-bucket cap as ``dedup.minhash_candidate_pairs``): a dense
+    near-duplicate cluster landing in one SRP bucket is dropped instead of
+    going O(n^2).  The cap is not silent — ``srp_dropped_buckets`` returns
+    exactly what a given cap would drop so pipelines can count/log it;
+  * with P planes there are only 2^P buckets, so P must grow with corpus
+    size (buckets ~ n/2^P rows each); ``lsh_topk_multiband`` recovers the
+    recall lost to finer buckets by unioning candidates over B independent
+    plane sets at the same per-band cost.
+
 At 100 TB the brute-force path is only for small query sets against a
-broadcastable corpus sample; the bucketed path shuffles once on the bucket
+broadcastable corpus sample; the bucketed paths shuffle once on the bucket
 key.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,34 +68,107 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cosine", 6).alias("cosine")))
 
 
-def srp_buckets(emb: DataFrame, planes: list[list[float]],
-                id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """Sign-random-projection bucket per vector: bit p = (v . plane_p) >= 0.
-    ``planes`` are driver-provided deterministic hyperplanes (seeded numpy in
-    the caller).  Output: (id, bucket int)."""
+def srp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Inline sign-random-projection bucket: bit p = (v . plane_p) >= 0.
+    A narrow per-row expression — add it to a projection instead of joining
+    a separate bucket frame (the r2 plan paid an avoidable exchange of the
+    full vector column for that self-join)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = None
     for p, plane in enumerate(planes):
         d = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
         bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def srp_buckets(emb: DataFrame, planes: list[list[float]],
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Standalone (id, bucket) frame — kept for callers that only need the
+    bucket assignment; the pair-generating operators below inline
+    ``srp_bucket_expr`` instead of joining this frame."""
     return emb.select(F.col(id_col).alias("id"),
-                      bucket.cast("int").alias("bucket"))
+                      srp_bucket_expr(vec_col, planes).alias("bucket"))
+
+
+def _cap_buckets(e: DataFrame, max_bucket: int,
+                 bucket_cols: list[str] | None = None) -> DataFrame:
+    """Keep only rows of buckets with 2..max_bucket members.  Singleton
+    buckets produce no pairs anyway; over-cap buckets are the degenerate
+    O(n^2) hazard.  The sized frame has at most 2^planes (x bands) rows, so
+    it broadcasts — the cap costs one count aggregate, never a wide join."""
+    cols = bucket_cols or ["bucket"]
+    sized = (e.groupBy(*cols).agg(F.count("*").alias("sz"))
+             .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
+    return e.join(F.broadcast(sized.select(*cols)), cols)
+
+
+def srp_dropped_buckets(emb: DataFrame, planes: list[list[float]],
+                        max_bucket: int = 1000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(bucket, sz) of buckets the cap would drop — the no-silent-caps
+    companion: pipelines count/log this next to the capped result."""
+    return (srp_buckets(emb, planes, id_col, vec_col)
+            .groupBy("bucket").agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket))
 
 
 def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_bucket: int = 1000) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket, exact cosine
-    re-rank within bucket.  One shuffle on the bucket key."""
-    b = srp_buckets(emb, planes, id_col, vec_col)
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
-           .join(b, "id")
+    re-rank within bucket.  One shuffle on the bucket key.
+
+    Buckets larger than ``max_bucket`` are dropped before the pair join
+    (same guard as ``dedup.minhash_candidate_pairs``): one dense cluster
+    cannot go quadratic.  Queries living in a dropped bucket return no
+    neighbors — use ``srp_dropped_buckets`` to surface them, and more
+    planes / ``lsh_topk_multiband`` to shrink buckets below the cap."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   srp_bucket_expr(vec_col, planes).alias("bucket"))
+    e = _cap_buckets(e, max_bucket)
     left = e.select(F.col("id").alias("qid"), F.col("v").alias("va"), "bucket")
     right = e.select(F.col("id").alias("nbr_id"), F.col("v").alias("vb"),
                      "bucket")
     cand = left.join(right, "bucket").filter(F.col("qid") != F.col("nbr_id"))
     scored = with_cosine(cand)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def lsh_topk_multiband(emb: DataFrame,
+                       plane_bands: list[list[list[float]]], k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_bucket: int = 1000) -> DataFrame:
+    """Multi-band SRP top-k: B independent plane sets, candidates unioned
+    across bands (a pair is a candidate if ANY band buckets it together) —
+    the recall knob that lets the per-band plane count grow with corpus
+    size without losing near neighbors to unlucky single-band splits.
+
+    Shape: one posexplode (narrow) tags each row with its B (band, bucket)
+    keys, the per-(band, bucket) cap guards every band, the pair join
+    shuffles once on (band, bucket), and the cross-band duplicate pairs
+    collapse in the same aggregation that feeds the top-k window."""
+    buckets = F.array(*[srp_bucket_expr(vec_col, planes)
+                        for planes in plane_bands])
+    e = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                    F.posexplode(buckets).alias("band", "bucket")))
+    e = _cap_buckets(e, max_bucket, ["band", "bucket"])
+    left = e.select(F.col("id").alias("qid"), F.col("v").alias("va"),
+                    "band", "bucket")
+    right = e.select(F.col("id").alias("nbr_id"), F.col("v").alias("vb"),
+                     "band", "bucket")
+    cand = (left.join(right, ["band", "bucket"])
+            .filter(F.col("qid") != F.col("nbr_id")))
+    # cosine is identical whichever band proposed the pair -> max() dedups
+    scored = (with_cosine(cand)
+              .groupBy("qid", "nbr_id")
+              .agg(F.max("cosine").alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -144,11 +231,15 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         planes: list[list[float]] | None = None,
-                        exact: bool = False) -> DataFrame:
+                        exact: bool = False,
+                        max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
 
     The default (and the 100-TB path) is SRP-LSH-bucketed pair generation —
-    pass deterministic ``planes`` (seeded numpy in the caller).  The exact
+    pass deterministic ``planes`` (seeded numpy in the caller); the bucket
+    is computed inline (no self-join) and buckets over ``max_bucket`` rows
+    are dropped so a dense duplicate cluster cannot go O(n^2)
+    (``srp_dropped_buckets`` reports what the cap removed).  The exact
     all-pairs crossJoin is a verification tool for small inputs and requires
     an explicit ``exact=True`` opt-in so the quadratic path can never be
     reached by default-argument accident."""
@@ -157,17 +248,17 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
             "embedding_near_dups: pass `planes` for the LSH-bucketed scale "
             "path, or opt in to the exact all-pairs crossJoin with "
             "exact=True (small inputs only)")
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if planes is not None:
-        b = srp_buckets(emb, planes, id_col, vec_col)
-        e = e.join(b, "id")
-        join_key = ["bucket"]
+        e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       srp_bucket_expr(vec_col, planes).alias("bucket"))
+        e = _cap_buckets(e, max_bucket)
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      "bucket")
         c = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                      "bucket")
-        cand = a.join(c, join_key)
+        cand = a.join(c, "bucket")
     else:
+        e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         c = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         cand = a.crossJoin(c)
