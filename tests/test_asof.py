@@ -31,6 +31,36 @@ def test_asof_join_hand_computed(spark):
     }
 
 
+def test_asof_join_null_right_values(spark):
+    """A latest-match right row whose value is NULL must yield NULL (not an
+    older non-null value), and multiple value columns must all come from
+    that same right row — DuckDB/pandas ASOF semantics with NULLs."""
+    left = spark.createDataFrame([(1, "u1", 12), (2, "u1", 7)],
+                                 "event_id int, k string, ts int")
+    right = spark.createDataFrame(
+        [("u1", 5, 99.0, "A"), ("u1", 10, None, "B")],
+        "k string, ts int, w double, tag string")
+    out = {r["event_id"]: (r["asof_w"], r["asof_tag"])
+           for r in asof_join(left, right, on=["k"], ts_col="ts",
+                              value_cols=["w", "tag"]).collect()}
+    # ts=12 matches the ts=10 row: w is genuinely NULL there, tag is 'B' —
+    # both from that one row (NOT w=99.0 carried from ts=5)
+    assert out[1] == (None, "B")
+    assert out[2] == (99.0, "A")
+
+    # DuckDB native ASOF agrees
+    import duckdb
+    con = duckdb.connect()
+    got = con.execute("""
+        SELECT l.event_id, r.w, r.tag
+        FROM (VALUES (1, 'u1', 12), (2, 'u1', 7)) l(event_id, k, ts)
+        ASOF LEFT JOIN (VALUES ('u1', 5, 99.0, 'A'),
+                               ('u1', 10, NULL, 'B')) r(k, ts, w, tag)
+        ON l.k = r.k AND l.ts >= r.ts
+    """).fetchall()
+    assert {(e, (w, t)) for e, w, t in got} == set(out.items())
+
+
 def test_asof_join_plan_shape(spark):
     left, right = _frames(spark)
     q = asof_join(left, right, on=["k"], ts_col="ts", value_cols=["w"])

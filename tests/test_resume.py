@@ -81,7 +81,7 @@ def test_atomic_commit_crash_between_write_and_manifest(spark, corpus_path,
     # run 1 CRASHES after the output write, before commit_phase
     run1 = new_run_id()
     extract(docs).withColumn("run_id", F.lit(run1)) \
-        .write.mode("append").partitionBy("run_id").parquet(out_dir)
+        .write.mode("append").parquet(out_dir)
     # (no commit_phase -> manifest never saw run1)
 
     # rerun: manifest empty, so ALL docs are pending again
@@ -89,7 +89,7 @@ def test_atomic_commit_crash_between_write_and_manifest(spark, corpus_path,
     assert todo.count() == n_total
     run2 = new_run_id()
     out2 = extract(todo).withColumn("run_id", F.lit(run2))
-    out2.write.mode("append").partitionBy("run_id").parquet(out_dir)
+    out2.write.mode("append").parquet(out_dir)
     commit_phase(out2.drop("run_id"), spark, state_dir, "extract",
                  run_id=run2)
 
@@ -160,4 +160,71 @@ def test_manifest_compaction_bounds_reads(spark, corpus_path, tmp_path):
     assert kept == n_total
     assert read_manifest(spark, state_dir).count() == n_total
     # latest run wins and resume semantics are unchanged
+    assert pending_docs(docs, spark, state_dir, "extract").count() == 0
+
+
+def test_legacy_flat_output_upgraded_in_place(spark, corpus_path, tmp_path):
+    """An output dir first written WITHOUT run tagging (legacy flat files)
+    must keep working after tagged runs append to it: one flat layout, no
+    partition-discovery conflict, and read_committed returns both the
+    legacy docs (doc_id-only check) and the tagged docs."""
+    import pyspark.sql.functions as F
+    from vlm_ocr_doc_reader_spark.state.manifest import check_output_layout
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    docs = spark.read.parquet(corpus_path)
+    half = docs.filter(docs.doc_id.substr(-1, 1).isin(*"02468"))
+    rest = docs.subtract(half)
+
+    # legacy era: no run_id anywhere
+    extract(half).write.mode("append").parquet(out_dir)
+    commit_phase(extract(half), spark, state_dir, "extract")
+
+    # upgraded era: tagged flat append into the SAME directory
+    check_output_layout(out_dir)  # flat legacy files are fine
+    run2 = new_run_id()
+    out2 = extract(rest).withColumn("run_id", F.lit(run2))
+    out2.write.mode("append").parquet(out_dir)
+    commit_phase(out2.drop("run_id"), spark, state_dir, "extract",
+                 run_id=run2)
+
+    committed = read_committed(spark, out_dir, state_dir, "extract")
+    assert committed.select("doc_id").distinct().count() == docs.count()
+    assert committed.count() == docs.count()
+
+    # the OLD partitioned layout is refused with a migration message
+    part_dir = str(tmp_path / "old_layout")
+    out2.write.mode("append").partitionBy("run_id").parquet(part_dir)
+    with pytest.raises(SystemExit):
+        check_output_layout(part_dir)
+
+
+def test_compaction_crash_window_recovers(spark, corpus_path, tmp_path):
+    """A crash between the compaction swap's two renames must NOT orphan the
+    manifest: the next read recovers the '.old' copy and resume still sees
+    zero pending (the old rmtree-then-rename swap lost everything here)."""
+    from vlm_ocr_doc_reader_spark.state.manifest import (manifest_path,
+                                                         recover_manifest)
+    state_dir = str(tmp_path / "state")
+    docs = spark.read.parquet(corpus_path)
+    commit_phase(extract(docs), spark, state_dir, "extract",
+                 run_id=new_run_id())
+    n = read_manifest(spark, state_dir).count()
+    assert n > 0
+
+    # simulate the crash: manifest renamed aside, replacement never landed
+    path = manifest_path(state_dir)
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+
+    # any manifest read heals it; no committed work is forgotten
+    assert read_manifest(spark, state_dir).count() == n
+    assert pending_docs(docs, spark, state_dir, "extract").count() == 0
+    assert not os.path.exists(path + ".old")
+    assert not recover_manifest(state_dir)  # idempotent no-op now
+
+    # and compaction itself recovers + completes after such a crash
+    os.rename(path, path + ".old")
+    kept = compact_manifest(spark, state_dir)
+    assert kept == docs.count()
     assert pending_docs(docs, spark, state_dir, "extract").count() == 0

@@ -56,18 +56,28 @@ def _run_extract(spark: SparkSession, args) -> None:
     with a run_id and written FIRST, the manifest referencing that run_id is
     committed LAST.  A crash in between leaves orphan rows that
     ``read_committed`` filters on read and the next run reprocesses — never
-    duplicate committed docs, never lost ones."""
+    duplicate committed docs, never lost ones.
+
+    run_id is a NORMAL column (not partitionBy): legacy outputs written
+    without any run_id are plain flat parquet, and Spark's partition
+    discovery rejects a directory mixing flat files with run_id=
+    subdirectories — one flat layout lets old and new files coexist
+    (``read_committed`` merge-reads both).  A directory already written by
+    the old partitioned layout is refused with a migration message rather
+    than corrupted in place."""
     from pyspark.sql import functions as F
 
-    from .state.manifest import new_run_id
+    from .state.manifest import check_output_layout, new_run_id
+    check_output_layout(args.output)
     docs = spark.read.parquet(args.input)
     if args.state:
         docs = pending_docs(docs, spark, args.state, "extract")
     run_id = new_run_id()
     out = extract(docs).withColumn("run_id", F.lit(run_id))
-    out.write.mode("append").partitionBy("run_id").parquet(args.output)
+    out.write.mode("append").parquet(args.output)
     if args.state:
-        processed = (spark.read.parquet(args.output)
+        processed = (spark.read.option("mergeSchema", "true")
+                     .parquet(args.output)
                      .filter(F.col("run_id") == run_id).drop("run_id"))
         commit_phase(processed, spark, args.state, "extract", run_id=run_id)
 

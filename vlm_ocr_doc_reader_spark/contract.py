@@ -893,6 +893,45 @@ GROUP BY 1, 2
 """
 
 
+def q_range_join_left(spark, sf_dir):
+    """Left range join: every event keeps a row; events outside any LONG
+    session (>= 10 events) carry a null session_id — the outer variant whose
+    residual BETWEEN must live in the join condition, not a post-filter."""
+    from .datapipe.ranges import range_join
+    from .datapipe.sessions import session_summary
+    ev = load(spark, sf_dir, "events")
+    long_sess = session_summary(ev, gap_minutes=30) \
+        .filter(F.col("n_events") >= 10)
+    joined = range_join(ev.select("user_id", "ts", "event_id"), long_sess,
+                        on=["user_id"], ts_col="ts",
+                        start_col="session_start", end_col="session_end",
+                        chunk_seconds=3600, how="left")
+    return joined.select("user_id", "event_id", "session_id")
+
+
+ORACLE_RANGE_JOIN_LEFT = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM o
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY 1, 2 HAVING count(*) >= 10
+)
+SELECT e.user_id, e.event_id, sess.session_id
+FROM events e LEFT JOIN sess
+  ON e.user_id = sess.user_id AND e.ts BETWEEN sess.st AND sess.en
+"""
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: hour buckets from raw, day
     buckets re-aggregated from the hour level (sums of sums)."""
@@ -1680,6 +1719,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "range_join_left": q_range_join_left,
     "time_rollup": q_time_rollup,
     "rollup_cube": q_rollup_cube,
 }
@@ -1738,6 +1778,7 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
+    "range_join_left": ORACLE_RANGE_JOIN_LEFT,
     "time_rollup": ORACLE_TIME_ROLLUP,
     "rollup_cube": ORACLE_ROLLUP,
 }

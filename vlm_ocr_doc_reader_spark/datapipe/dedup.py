@@ -102,6 +102,12 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 16, k: int = 3,
     Computed entirely row-wise (narrow): the only non-map operator in the
     plan is the final posexplode, which is also narrow — at 100 TB this
     stage shuffles NOTHING (it used to be an explode + groupBy exchange).
+
+    Input contract: ONE row per id.  The per-row form signs each row
+    independently — an id spanning multiple rows yields one (possibly
+    conflicting) signature per row, where the old explode+groupBy form
+    pooled shingles across rows.  Pre-aggregate text per id (e.g.
+    concat_ws over collect_list) before calling if ids can repeat.
     """
     return (df.select(F.col(id_col).alias("id"),
                       _signature_array(k, n_hashes, text_col).alias("_sig"))
@@ -138,7 +144,10 @@ def minhash_band_buckets(df: DataFrame, n_hashes: int = 16,
     same sort, same md5 — the classic formulation is kept as the oracle).
 
     At 100 TB this makes the whole candidate-generation pipeline one map
-    stage followed by a single bucket-join shuffle."""
+    stage followed by a single bucket-join shuffle.
+
+    Input contract: ONE row per id (same as ``minhash_signatures`` — the
+    per-row form cannot pool shingles across rows of a repeated id)."""
     n_bands = n_hashes // rows_per_band
     sig = _signature_array(k, n_hashes, text_col)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
@@ -246,6 +255,10 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id",
     array — ZERO shuffles (the exploded formulation paid a distinct exchange
     plus a groupBy exchange; per-doc distinct equals per-row distinct, so
     the results are identical — the gate oracle is the exploded form).
+
+    Input contract: ONE row per id (an id repeated across rows gets one
+    fingerprint per row instead of one pooled fingerprint — pre-aggregate
+    text per id first if ids can repeat).
     """
     toks = F.array_distinct(F.filter(
         F.split(_norm(F.col(text_col)), " "), lambda x: x != ""))

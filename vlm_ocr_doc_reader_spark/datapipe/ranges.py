@@ -15,6 +15,9 @@ high-cardinality key.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,9 +33,18 @@ def range_join(points: DataFrame, intervals: DataFrame, on: list[str],
     """Join each point row to interval rows with
     start <= ts <= end (inclusive), matching on ``on`` keys.
 
-    Output: all point columns + all interval columns (minus the join keys'
-    duplicates).  ``how`` inner or left_semi-style via inner; intervals with
-    no points simply produce no rows."""
+    Output: ``on`` keys + remaining point columns + remaining interval
+    columns.  ``how``: 'inner', or 'left'/'left_outer' — a point with no
+    containing interval keeps one row with null interval columns.  The
+    residual BETWEEN lives in the JOIN CONDITION (not a post-join filter),
+    so outer semantics are honest: a point whose chunk has intervals that
+    all fail the BETWEEN still survives as an unmatched row (a post-filter
+    would silently degrade 'left' to inner).  Other join types are refused
+    — the chunk explode duplicates interval rows, so e.g. right/full
+    semantics would need dedup the caller must opt into explicitly."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"range_join: how={how!r} not supported "
+                         "(use 'inner' or 'left')")
     chunk = F.lit(float(chunk_seconds))
     iv = intervals.withColumn(
         "_chunk",
@@ -41,7 +53,13 @@ def range_join(points: DataFrame, intervals: DataFrame, on: list[str],
             F.floor(_epoch(F.col(end_col)) / chunk).cast("long"))))
     pt = points.withColumn(
         "_chunk", F.floor(_epoch(F.col(ts_col)) / chunk).cast("long"))
-    j = pt.join(iv, on + ["_chunk"], how)
-    return (j.filter((_epoch(F.col(ts_col)) >= _epoch(F.col(start_col)))
-                     & (_epoch(F.col(ts_col)) <= _epoch(F.col(end_col))))
-            .drop("_chunk"))
+    p, i = pt.alias("_p"), iv.alias("_i")
+    cond = functools.reduce(operator.and_, [p[k] == i[k] for k in on])
+    cond = (cond & (p["_chunk"] == i["_chunk"])
+            & (_epoch(p[ts_col]) >= _epoch(i[start_col]))
+            & (_epoch(p[ts_col]) <= _epoch(i[end_col])))
+    j = p.join(i, cond, "inner" if how == "inner" else "left")
+    return j.select(
+        *[p[k] for k in on],
+        *[p[c] for c in points.columns if c not in on],
+        *[i[c] for c in intervals.columns if c not in on])

@@ -37,6 +37,20 @@ def manifest_path(state_dir: str) -> str:
     return os.path.join(state_dir, "manifest")
 
 
+def recover_manifest(state_dir: str) -> bool:
+    """Crash recovery for the compaction swap: if a crash left the manifest
+    renamed aside (``manifest.old`` present, ``manifest`` missing), rename
+    it back.  Returns True when a recovery happened.  Idempotent; called by
+    every manifest read and by ``compact_manifest`` itself, so no consumer
+    can observe the swap's intermediate state as data loss."""
+    path = manifest_path(state_dir)
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def metrics_path(state_dir: str) -> str:
     return os.path.join(state_dir, "metrics")
 
@@ -50,6 +64,7 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 def read_manifest(spark: SparkSession, state_dir: str,
                   phase: str | None = None) -> DataFrame:
+    recover_manifest(state_dir)
     m = _read_or_empty(spark, manifest_path(state_dir), MANIFEST_SCHEMA)
     if phase is not None:
         m = m.filter(F.col("phase") == phase)
@@ -143,6 +158,24 @@ def read_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_or_empty(spark, metrics_path(state_dir), METRICS_SCHEMA)
 
 
+def check_output_layout(output_dir: str) -> None:
+    """Refuse to append flat run_id-column files into a directory written by
+    the old ``partitionBy('run_id')`` layout: Spark's partition discovery
+    rejects the mixed structure, so an in-place upgrade would corrupt the
+    directory.  Clear migration message instead (read the old dir, rewrite
+    flat with run_id as a column, or start a fresh output dir)."""
+    try:
+        entries = os.listdir(output_dir)
+    except FileNotFoundError:
+        return
+    if any(e.startswith("run_id=") for e in entries):
+        raise SystemExit(
+            f"output dir {output_dir!r} uses the legacy run_id= partitioned "
+            "layout; appending flat files would break partition discovery. "
+            "Migrate once (read the dir, write elsewhere without "
+            "partitionBy) or point --output at a fresh directory.")
+
+
 def read_committed(spark: SparkSession, output_dir: str, state_dir: str,
                    phase: str) -> DataFrame:
     """Output rows whose (doc_id, run_id) is committed in the manifest.
@@ -151,14 +184,22 @@ def read_committed(spark: SparkSession, output_dir: str, state_dir: str,
     appended BEFORE the manifest commit, so a crash in between leaves rows
     with a run_id no manifest entry references — they are dropped here (and
     the docs get reprocessed by the next run's anti-join, because the
-    manifest never saw them).  Outputs written without a ``run_id`` column
-    (legacy) fall back to doc_id-only committed filtering."""
-    out = spark.read.parquet(output_dir)
+    manifest never saw them).
+
+    Legacy outputs written before run tagging share the directory (one flat
+    layout): mergeSchema surfaces their rows with a null run_id, and they
+    fall back to doc_id-only committed filtering — committed legacy docs are
+    never dropped for lacking a run tag."""
+    out = spark.read.option("mergeSchema", "true").parquet(output_dir)
     m = read_manifest(spark, state_dir, phase)
     if "run_id" not in out.columns:
         return out.join(m.select("doc_id"), "doc_id", "left_semi")
-    return out.join(m.select("doc_id", "run_id"), ["doc_id", "run_id"],
-                    "left_semi")
+    tagged = (out.filter(F.col("run_id").isNotNull())
+              .join(m.select("doc_id", "run_id"), ["doc_id", "run_id"],
+                    "left_semi"))
+    legacy = (out.filter(F.col("run_id").isNull())
+              .join(m.select("doc_id"), "doc_id", "left_semi"))
+    return tagged.unionByName(legacy)
 
 
 def compact_manifest(spark: SparkSession, state_dir: str) -> int:
@@ -170,8 +211,17 @@ def compact_manifest(spark: SparkSession, state_dir: str) -> int:
     One shuffle on (doc_id, phase) over manifest rows only (never the data).
     Plain-parquet stand-in for an Iceberg RewriteFiles/MERGE snapshot: the
     new manifest is materialized to a sibling dir and swapped in; on a real
-    catalog the swap is an atomic snapshot commit."""
+    catalog the swap is an atomic snapshot commit.
+
+    The swap never has a window where the manifest is gone: the live dir is
+    renamed aside to ``manifest.old`` FIRST, the compacted dir renamed into
+    place SECOND, and only then is ``.old`` deleted.  A crash between any
+    two steps is healed by ``recover_manifest`` (rename ``.old`` back when
+    ``manifest`` is missing) on the next read — rmtree-before-rename would
+    instead orphan every committed output row."""
+    recover_manifest(state_dir)
     path = manifest_path(state_dir)
+    old = path + ".old"
     m = _read_or_empty(spark, path, MANIFEST_SCHEMA)
     w = Window.partitionBy("doc_id", "phase") \
         .orderBy(F.desc("ts"), F.desc("run_id"))
@@ -180,6 +230,11 @@ def compact_manifest(spark: SparkSession, state_dir: str) -> int:
     tmp = path + ".compact"
     latest.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path, ignore_errors=True)
+    # leftover .old here can only be post-swap debris (recover_manifest saw
+    # `manifest` present) — safe to clear before taking its name
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return n

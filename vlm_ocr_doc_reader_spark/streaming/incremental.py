@@ -42,9 +42,12 @@ def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
         # between the two; Spark's checkpoint may replay the batch, and the
         # pending anti-join makes the replay a no-op for committed docs)
         run_id = new_run_id()
+        # run_id as a normal column (one flat layout shared with legacy
+        # outputs — see cli._run_extract)
         out = extract(todo).withColumn("run_id", F.lit(run_id))
-        out.write.mode("append").partitionBy("run_id").parquet(output_dir)
-        committed = (spark.read.parquet(output_dir)
+        out.write.mode("append").parquet(output_dir)
+        committed = (spark.read.option("mergeSchema", "true")
+                     .parquet(output_dir)
                      .filter(F.col("run_id") == run_id).drop("run_id"))
         commit_phase(committed, spark, state_dir, "extract", run_id=run_id)
 
