@@ -37,10 +37,15 @@ BENCH_QUERIES = [
     "extract_text", "pricing_summary", "top_order_per_cust",
     "dim_join_rollup", "upsert_merge", "chunking", "vote", "dedup_exact",
     "minhash_pairs", "cosine_topk", "quality", "lang_id", "fingerprint",
-    "dedup_pipeline", "lsh_topk", "full_description", "levels_verify",
-    "sessionize", "asof_join", "range_join", "time_rollup", "pii_redact",
+    "dedup_pipeline", "lsh_topk", "lsh_topk_multiband", "full_description",
+    "levels_verify", "levels_verify_chunked", "sessionize", "asof_join",
+    "range_join", "range_join_left", "time_rollup", "pii_redact",
     "repetition",
 ]
+# per-query timing protocol: median of QUERY_RUNS runs, min/max spread
+# published alongside (wall clock on this VM is noisy; a single sample can
+# mislead a round-over-round comparison by 2x)
+QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3"))
 
 
 def corpus_path() -> str:
@@ -181,11 +186,19 @@ def main() -> None:
                       extra_conf={"spark.ui.enabled": "false"})
     try:
         from vlm_ocr_doc_reader_spark.contract import QUERIES
+        spread: dict[str, list[float]] = {}
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            QUERIES[name](spark, SF_DIR).write.format("noop") \
-                .mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            times = []
+            for _ in range(QUERY_RUNS):
+                t0 = time.time()
+                QUERIES[name](spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+                times.append(time.time() - t0)
+            times.sort()
+            timings[name] = round(times[len(times) // 2], 3)  # median
+            spread[name] = [round(times[0], 3), round(times[-1], 3)]
+        extras["query_runs"] = QUERY_RUNS
+        extras["query_spread"] = spread
 
         # verify's sample fan-out is one corpus scan regardless of the axis
         # count (explode over a persisted pass) — evidence: wall time must
@@ -270,12 +283,16 @@ def _write_bench_md(r: dict) -> None:
         "oversubscribed — it measures saturation, not scaling, which is "
         "why its throughput can sit below local[8]'s.",
         "",
-        "## Contract query timings (" + r["sf"] + ")",
+        "## Contract query timings (" + r["sf"] + ", median of "
+        + str(r.get("query_runs", 1)) + " runs, [min..max] spread)",
         "",
-        "| query | sec |", "|---|---|",
+        "| query | sec (median) | spread |", "|---|---|---|",
     ]
+    sp = r.get("query_spread", {})
     for q, t in r["queries"].items():
-        lines.append(f"| {q} | {t} |")
+        s = sp.get(q)
+        lines.append(f"| {q} | {t} | "
+                     f"{'[' + str(s[0]) + '..' + str(s[1]) + ']' if s else '—'} |")
     if "levels_verify_axes2" in r["queries"]:
         lines += ["",
                   "`levels_verify_axes2` vs `levels_verify_axes8`: verify "

@@ -163,6 +163,25 @@ def test_embedding_near_dups(emb):
     assert got == {(0, 1), (2, 3)}
 
 
+def test_lang_id_script_ranges(spark):
+    """Non-Latin scripts are classified by script dominance before the
+    marker-word vote; Latin text still uses markers; mixed text with no
+    dominant script falls through to the vote."""
+    rows = [
+        (1, "机器学习模型在大规模数据上训练"),                   # Han -> zh
+        (2, "التعلم الآلي على نطاق واسع"),                      # Arabic -> ar
+        (3, "Обработка данных без маркерных слов"),             # Cyrillic -> ru
+        (4, "the model and the data of the pipeline"),          # markers -> en
+        (5, "der Tisch und die Daten der Pipeline"),            # markers -> de
+        (6, "zzz qqq xxx"),                                     # latin, no hits
+        (7, "好 the data and the model"),                       # latin dominant
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "zh", 2: "ar", 3: "ru", 4: "en", 5: "de",
+                   6: "und", 7: "en"}
+
+
 def test_quality_and_lang_and_fingerprint(docs):
     q = {r["doc_id"]: r for r in quality_features(docs).collect()}
     assert q[1]["n_tokens"] == 9

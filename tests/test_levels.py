@@ -70,6 +70,28 @@ def test_verify_unanimous(docs_df):
     assert {r["value"] for r in d} == {"7704123456", "123456789", "555666777"}
 
 
+def test_verify_chunked_axes_disagree(docs_df):
+    """axis_mode='chunk': axes read 17/34/51-char windows of the span, so
+    they genuinely disagree on 'doc_digits' — page 1's digits occupy chars
+    24-33 (axis 1's 17-char window misses them, axes 2/3 contain them fully
+    -> 2/3), and the vote's k/N semantics run end-to-end instead of only in
+    unit tests."""
+    reg2 = verify(docs_df, resolve(docs_df, scan(docs_df)), axes=(1, 2, 3),
+                  axis_mode="chunk", axis_chunk_chars=17)
+    d = {r["page_num"]: r
+         for r in reg2.filter((F.col("doc_id") == "doc_digits")
+                              & (F.col("value") == "7704123456")).collect()}
+    r = d[1]
+    assert r["resolution"] == 2
+    assert r["confidence"] == "2/3" and not r["verified"]
+    # non-unanimous rows exist corpus-wide, unanimous ones too
+    confs = {r["confidence"] for r in reg2.collect()}
+    assert any(c != "3/3" for c in confs)
+
+    with pytest.raises(ValueError):
+        verify(docs_df, scan(docs_df), axis_mode="bogus")
+
+
 # ---- registry operator units ----
 
 def test_upsert_updates_and_appends(spark):

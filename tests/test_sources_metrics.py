@@ -104,3 +104,32 @@ def test_malformed_spans_dropped_consistently(spark):
                for r in extract(df, strategy=strat).collect()}
         assert out["d1"] == [("Good first sentence here today.", 0),
                              ("Good second sentence here today.", 1)], strat
+
+
+def test_binary_landing_and_guarded_pdf_parser(spark, tmp_path):
+    """S1 landing zone: raw bytes land with path/length/content; the
+    PDF->spans kernel is import-guarded — a real parse when PyMuPDF exists,
+    a clear ImportError (not a silent wrong answer) when it does not."""
+    from vlm_ocr_doc_reader_spark.sources.readers import (
+        has_pdf_parser, pdf_to_spans, read_binary_docs)
+    p = tmp_path / "a.pdf"
+    p.write_bytes(b"%PDF-1.4 fake-for-landing-test")
+    (tmp_path / "ignore.txt").write_text("not a pdf")
+    landed = read_binary_docs(spark, str(tmp_path))
+    rows = landed.collect()
+    assert len(rows) == 1 and rows[0]["path"].endswith("a.pdf")
+    assert bytes(rows[0]["content"]).startswith(b"%PDF")
+
+    if not has_pdf_parser():
+        import pytest
+        with pytest.raises(ImportError):
+            pdf_to_spans(landed)
+    else:  # container with fitz: make a real one-page PDF and parse it
+        import fitz
+        doc = fitz.open()
+        page = doc.new_page()
+        page.insert_text((72, 72), "Hello spans")
+        p.write_bytes(doc.tobytes())
+        out = pdf_to_spans(read_binary_docs(spark, str(tmp_path))).collect()
+        assert out and any("Hello spans" in (s["text"] or "")
+                           for s in out[0]["spans"])

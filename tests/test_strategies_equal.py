@@ -27,6 +27,36 @@ def test_fused_equals_declarative(corpus_df):
     assert not diff, f"{len(diff)} docs differ; first: {diff[0]}"
 
 
+def test_fused_auto_fallback_routes_mega_docs(corpus_df):
+    """With a threshold below the corpus's mega-doc size, extract() must
+    route the over-threshold docs through the declarative salted path at
+    runtime and still produce byte-identical output — and the pure fused
+    plan must remain zero-exchange when nothing exceeds the threshold."""
+    import pyspark.sql.functions as F
+    n_big = corpus_df.filter(F.size("spans") > 1000).count()
+    assert n_big >= 1  # the fixture's mega doc exceeds the test threshold
+
+    a = {r["doc_id"]: r["spans"]
+         for r in extract(corpus_df, strategy="fused",
+                          fused_max_spans=None).collect()}
+    b = {r["doc_id"]: r["spans"]
+         for r in extract(corpus_df, strategy="fused",
+                          fused_max_spans=1000).collect()}
+    assert a == b
+
+    # routing engaged: the routed plan carries a union + exchanges
+    routed = extract(corpus_df, strategy="fused", fused_max_spans=1000)
+    plan = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted")
+    assert "Union" in plan and "Exchange" in plan
+
+    # nothing over the (default) threshold -> the pure zero-shuffle map
+    pure = extract(corpus_df, strategy="fused")
+    plan = pure._sc._jvm.PythonSQLUtils.explainString(
+        pure._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan and "Union" not in plan
+
+
 def test_fused_raw_equals_fused(corpus_df):
     """The landing-shape (pre-exploded) strategy keeps the same contract —
     including docs whose spans are all pruned before the exchange."""

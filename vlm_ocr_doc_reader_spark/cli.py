@@ -98,7 +98,8 @@ def _run_levels(spark: SparkSession, args) -> None:
             reg = resolve(docs, reg, pages=pages, kept=kept)
         if args.command == "verify":
             reg = verify(docs, reg, axes=parse_axes_arg(args.axes),
-                         pages=pages, kept=kept)
+                         pages=pages, kept=kept,
+                         axis_mode=getattr(args, "axis_mode", "fanout"))
         reg.write.mode("overwrite").parquet(args.registry)
     finally:
         kept.unpersist()
@@ -132,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
                             help="e.g. '1,2,5-7' (cli.py:47-86 semantics)")
         if name == "verify":
             ps.add_argument("--axes", default="1,3,5")
+            ps.add_argument("--axis-mode", choices=("fanout", "chunk"),
+                            default="fanout",
+                            help="'chunk': axis values are context chunk "
+                                 "sizes (reference axes semantics) so votes "
+                                 "can genuinely disagree")
 
     args = p.parse_args(argv)
 

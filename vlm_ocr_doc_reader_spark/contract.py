@@ -662,20 +662,36 @@ def q_lang_id(spark, sf_dir):
 
 
 def _oracle_lang_id() -> str:
-    from .datapipe.textstats import LANG_MARKERS
+    from .datapipe.textstats import LANG_MARKERS, SCRIPT_RANGES
     hit_cols = ",\n       ".join(
         f"len(regexp_extract_all(lower(text), "
         f"'\\b({'|'.join(LANG_MARKERS[c])})\\b')) AS h_{c}"
         for c in sorted(LANG_MARKERS))
+    # script char counts: length minus stripped length (same as Spark)
+    script_cols = ",\n       ".join(
+        f"length(lower(coalesce(text, ''))) - length(regexp_replace("
+        f"lower(coalesce(text, '')), '[{lo}-{hi}]', '', 'g')) AS s_{c}"
+        for c, (lo, hi) in sorted(SCRIPT_RANGES.items()))
+    latin = ("length(lower(coalesce(text, ''))) - length(regexp_replace("
+             "lower(coalesce(text, '')), '[a-z]', '', 'g')) AS s_lat")
     codes = sorted(LANG_MARKERS)
     # fold: first strictly-greater wins, scanning codes in sorted order
     m = ", ".join(f"h_{c}" for c in codes)
-    case = "CASE WHEN greatest(" + m + ") = 0 THEN 'und'"
+    marker_case = "CASE WHEN greatest(" + m + ") = 0 THEN 'und'"
     for c in codes:
-        case += f" WHEN h_{c} = greatest({m}) THEN '{c}'"
-    case += " END"
+        marker_case += f" WHEN h_{c} = greatest({m}) THEN '{c}'"
+    marker_case += " END"
+    # script dominance (strict > over every rival incl. latin) decides first
+    scodes = sorted(SCRIPT_RANGES)
+    case = "CASE"
+    for c in scodes:
+        rivals = ", ".join([f"s_{r}" for r in scodes if r != c] + ["s_lat"])
+        case += f" WHEN s_{c} > greatest({rivals}) THEN '{c}'"
+    case += f" ELSE {marker_case} END"
     return f"""
-WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+WITH h AS (SELECT doc_id, {hit_cols},
+       {script_cols},
+       {latin} FROM documents)
 SELECT doc_id, {case} AS pred_lang FROM h
 """
 
@@ -1314,16 +1330,15 @@ SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
 """
 
 
-def q_levels_verify(spark, sf_dir):
-    """scan -> resolve -> verify over derived spans (rows-only; Levels parity
-    covered by tests/test_levels.py)."""
-    from .plans.levels import resolve, scan, verify
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    # inject a deterministic >=6-digit identifier so scan finds targets
+def _levels_docs(spark, sf_dir, lim: int = 200):
+    """documents -> (doc_id, spans) with a deterministic >=6-digit
+    identifier injected so scan finds targets (shared by the levels gate
+    queries)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < lim)
     d = d.withColumn("text", F.concat(
         F.col("text"), F.lit(" contract number "),
         (F.col("doc_id") + 7700000000).cast("string"), F.lit(" filed.")))
-    docs = d.select(
+    return d.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
          .alias("doc_id"),
         F.transform(
@@ -1332,7 +1347,20 @@ def q_levels_verify(spark, sf_dir):
                 F.lit("text").alias("kind"), x.alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
                 i.cast("int").alias("offset"))).alias("spans"))
-    return verify(docs, resolve(docs, scan(docs)), axes=(1, 3))
+
+
+def q_levels_verify(spark, sf_dir):
+    """scan -> resolve -> verify over derived spans, classifying the corpus
+    ONCE via the persisted kept-frame hook — the same plan the CLI chain
+    runs (cli.py:_run_levels); without the persist each stage re-runs the
+    regex-heavy classify scan."""
+    from pyspark import StorageLevel
+
+    from .plans.levels import kept_text_spans, resolve, scan, verify
+    docs = _levels_docs(spark, sf_dir)
+    kept = kept_text_spans(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    return verify(docs, resolve(docs, scan(docs, kept=kept), kept=kept),
+                  axes=(1, 3), kept=kept)
 
 
 def _oracle_levels_verify(lim: int = 200, n_axes: int = 2) -> str:
@@ -1386,6 +1414,93 @@ SELECT doc_id, page_num,
        CAST(TRUE AS BOOLEAN) AS verified,
        '{n_axes}/{n_axes}' AS confidence
 FROM reg
+"""
+
+
+def q_levels_verify_chunked(spark, sf_dir):
+    """verify with axis_mode='chunk': axis values (1,2,3) ARE context chunk
+    sizes (windows of 96/192/288 chars — the corpus's digit identifiers sit
+    at varying depths 100-450 chars in, so the window boundary lands before,
+    inside, or after the digits per doc), making the three samples genuinely
+    disagree and exercising the majority vote's k/N semantics end-to-end
+    (non-unanimous confidences appear in the output) — the reference's
+    axes-as-chunk-size behavior (core/reader.py:477-487, decision_002)."""
+    from pyspark import StorageLevel
+
+    from .plans.levels import kept_text_spans, resolve, scan, verify
+    docs = _levels_docs(spark, sf_dir)
+    kept = kept_text_spans(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    return verify(docs, resolve(docs, scan(docs, kept=kept), kept=kept),
+                  axes=(1, 2, 3), kept=kept, axis_mode="chunk",
+                  axis_chunk_chars=96)
+
+
+def _oracle_levels_verify_chunked(lim: int = 200, chunk: int = 96) -> str:
+    """DuckDB mirror of the chunked verify, INCLUDING the full majority-vote
+    semantics (vote groups, first-position tie-break, first-sample value and
+    context, k/N confidence, verified = unanimity) — unlike the fan-out
+    variant this cannot shortcut to 'unanimous by construction'."""
+    nav = spec.NAV_RE
+    return f"""
+WITH base AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' contract number ' ||
+         CAST(doc_id + 7700000000 AS VARCHAR) || ' filed.' AS text
+  FROM documents WHERE doc_id < {lim}
+), sp AS (
+  SELECT doc_id, i - 1 AS off,
+         trim(regexp_replace(parts[i], '\\s+', ' ', 'g')) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM base) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), kept AS (
+  SELECT * FROM sp
+  WHERE text <> ''
+    AND NOT regexp_matches(lower(text), '{nav}')
+    AND (length(text) - length(replace(text, '|', '')))
+        <= {spec.PIPE_RATIO} * len(string_split(text, ' '))
+    AND (len(string_split(text, ' ')) >= {spec.MIN_WORDS}
+         OR substr(text, length(text), 1) IN ('.', '!', '?'))
+), reg AS (
+  SELECT doc_id, CAST(off + 1 AS INTEGER) AS page_num,
+         CAST(i - 1 AS INTEGER) AS run_idx, text,
+         printf('digits run %d on page %d', CAST(i - 1 AS INTEGER),
+                CAST(off + 1 AS INTEGER)) AS prompt
+  FROM (SELECT doc_id, off, text,
+               regexp_extract_all(text, '\\d{{6,}}') AS arr FROM kept) r,
+       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+), samples AS (
+  SELECT reg.*, ax.axis_idx,
+         substr(text, 1, ax.axis_val * {chunk}) AS win
+  FROM reg, (VALUES (0, 1), (1, 2), (2, 3)) ax(axis_idx, axis_val)
+), sm AS (
+  SELECT doc_id, page_num, prompt, axis_idx,
+         arr2[run_idx + 1] AS value,
+         CASE WHEN arr2[run_idx + 1] IS NOT NULL
+              THEN substr(win, 1, 64) END AS context,
+         coalesce(arr2[run_idx + 1], '__NO_DATA__') AS norm
+  FROM (SELECT *, regexp_extract_all(win, '\\d{{6,}}') AS arr2
+        FROM samples) v
+), grp AS (
+  SELECT doc_id, page_num, prompt, norm,
+         count(*) AS votes, min(axis_idx) AS first_pos,
+         arg_min(value, axis_idx) AS gvalue,
+         arg_min(context, axis_idx) AS gcontext
+  FROM sm GROUP BY 1, 2, 3, 4
+), winner AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, prompt
+            ORDER BY votes DESC, first_pos ASC) AS rn FROM grp
+)
+SELECT doc_id, page_num,
+       'scan_' || CAST(page_num AS VARCHAR) || '_' ||
+       substr(sha256(prompt), 1, 8) AS entity_id,
+       prompt, CAST(2 AS INTEGER) AS resolution,
+       CASE WHEN norm = '__NO_DATA__' THEN ''
+            ELSE trim(coalesce(gvalue, '')) END AS value,
+       gcontext AS context,
+       CAST(votes = 3 AS BOOLEAN) AS verified,
+       printf('%d/%d', votes, 3) AS confidence
+FROM winner WHERE rn = 1
 """
 
 
@@ -1706,6 +1821,7 @@ QUERIES = {
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
     "levels_verify": q_levels_verify,
+    "levels_verify_chunked": q_levels_verify_chunked,
     "media_features": q_media_features,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_multiband": q_lsh_topk_multiband,
@@ -1765,6 +1881,7 @@ ORACLES = {
     "extract_pipeline": oracle_extract_flat(),
     "simhash": _oracle_simhash(),
     "levels_verify": _oracle_levels_verify(),
+    "levels_verify_chunked": _oracle_levels_verify_chunked(),
     "media_features": _oracle_media_features(),
     "lsh_topk": _oracle_lsh_topk(),
     "lsh_topk_multiband": _oracle_lsh_topk_multiband(),

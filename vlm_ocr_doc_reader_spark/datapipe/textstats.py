@@ -66,18 +66,49 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality_score", F.round(score, 6).cast("double")))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language ID: language with the most marker hits wins;
-    ties broken by language code order; no hits -> 'und'.
+# script -> (language code, [lo, hi] codepoint range); a text whose dominant
+# script is non-Latin is classified by script BEFORE the marker-word vote
+# (marker lists can't cover unsegmented scripts like Han at all)
+SCRIPT_RANGES = {
+    "zh": ("一", "鿿"),   # CJK unified ideographs
+    "ar": ("؀", "ۿ"),   # Arabic
+    "ru": ("Ѐ", "ӿ"),   # Cyrillic
+}
 
-    ONE regex pass: all markers are extracted with a single combined
-    alternation, then per-language counts are cheap array filters over the
-    extracted tokens.  Equivalent to per-language scans because markers are
-    whole \\b-bounded tokens (no overlapping/prefix matches are possible),
-    so the combined extraction is exactly the union of the per-language
-    match sets — and the shared marker ('la') is counted by both filters.
+
+def _script_count(low: Column, lo: str, hi: str) -> Column:
+    """Character count inside [lo, hi]: length minus the length with those
+    chars removed — no per-char arrays, one linear regex pass."""
+    return (F.length(low)
+            - F.length(F.regexp_replace(low, f"[{lo}-{hi}]", "")))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two-stage language ID.
+
+    Stage 1 — script dominance: count characters in the CJK / Arabic /
+    Cyrillic ranges and in [a-z] (lowercased Latin); if a non-Latin script
+    strictly dominates all other counted scripts, it decides directly
+    (zh/ar/ru) — marker words are useless for unsegmented or non-Latin text.
+
+    Stage 2 — marker-word vote (Latin-dominant or scriptless text): language
+    with the most marker hits wins; ties broken by language code order; no
+    hits -> 'und'.
+
+    ONE regex pass for the markers: all markers are extracted with a single
+    combined alternation, then per-language counts are cheap array filters
+    over the extracted tokens.  Equivalent to per-language scans because
+    markers are whole \\b-bounded tokens (no overlapping/prefix matches are
+    possible), so the combined extraction is exactly the union of the
+    per-language match sets — and the shared marker ('la') is counted by
+    both filters.  Script counts add three narrow linear passes (length
+    minus stripped length — no per-character arrays).  Everything stays a
+    zero-shuffle per-row projection.
     """
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_script = {code: _script_count(low, lo, hi)
+                for code, (lo, hi) in SCRIPT_RANGES.items()}
+    n_latin = F.length(low) - F.length(F.regexp_replace(low, "[a-z]", ""))
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     combined = r"\b(" + "|".join(all_markers) + r")\b"
     tokens = F.regexp_extract_all(low, F.lit(combined), 0)
@@ -92,7 +123,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         better = n > best_n
         best = F.when(better, F.lit(code)).otherwise(best)
         best_n = F.when(better, n).otherwise(best_n)
-    return df.withColumn("pred_lang", best)
+
+    # script dominance decides before the marker vote (codes in sorted
+    # order for deterministic tie handling: strict > over all rivals)
+    pred = best
+    for code in sorted(SCRIPT_RANGES, reverse=True):
+        rivals = [n for c, n in n_script.items() if c != code] + [n_latin]
+        dominant = n_script[code] > F.greatest(*rivals) \
+            if len(rivals) > 1 else n_script[code] > rivals[0]
+        pred = F.when(dominant, F.lit(code)).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id",

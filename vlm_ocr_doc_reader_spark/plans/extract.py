@@ -85,7 +85,8 @@ def extract_flat(documents: DataFrame,
     return reconcile_and_order(ranked)
 
 
-def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
+def extract(documents: DataFrame, strategy: str = "fused",
+            fused_max_spans: int | None = 100_000) -> DataFrame:
     """Nested judged output: (doc_id, spans array<struct<kind,text,media_ref,order>>),
     one row per input doc (empty array when nothing survives).
 
@@ -97,11 +98,29 @@ def extract(documents: DataFrame, strategy: str = "fused") -> DataFrame:
     strategy='declarative': joins+windows end to end (salted assembly for
     mega docs) — the fully Catalyst-visible plan.  All produce identical
     output (tests enforce it).
+
+    ``fused_max_spans``: the fused strategy ships each document to a Python
+    worker as ONE Arrow row, so a document bigger than worker memory would
+    OOM the stage.  Docs with more spans than this threshold are routed to
+    the declarative (salted, never-single-row) path at runtime and the
+    results unioned — a decision made here, not by the caller.  The probe
+    is one JVM-only scan with limit-1 early exit; when no doc exceeds the
+    threshold the plan stays the pure zero-shuffle Arrow map.  ``None``
+    disables routing (plan-shape tests / pre-validated corpora).
     """
     if strategy == "fused":
         # rows are whole documents -> zero-shuffle map; rows map 1:1 so no
         # empty-doc repair join is needed either
         from ..operators.fused import fused_extract_rows
+        if fused_max_spans is not None:
+            big_cond = F.coalesce(
+                F.size("spans") > F.lit(fused_max_spans), F.lit(False))
+            if not documents.filter(big_cond).isEmpty():
+                small = documents.filter(~big_cond)
+                big = documents.filter(big_cond)
+                assembled = assemble_spans(extract_flat(big))
+                return (fused_extract_rows(small)
+                        .unionByName(with_empty_docs(assembled, big)))
         return fused_extract_rows(documents)
     if strategy == "fused_raw":
         from ..operators.fused import fused_extract_raw

@@ -130,28 +130,77 @@ def resolve(documents: DataFrame, registry: DataFrame,
     return upsert_entries(registry, updated)
 
 
+AXIS_CHUNK_CHARS = 16
+
+
+def _ocr_pass_chunked(kept_spans: DataFrame, targets: DataFrame,
+                      axes: tuple[int, ...],
+                      chunk_chars: int = AXIS_CHUNK_CHARS) -> DataFrame:
+    """Axis-as-chunk-size sampling: axis value ``a`` reads only the first
+    ``a * chunk_chars`` characters of the target's span — the reference's
+    per-axis context variation (axes are different chunk sizes producing
+    genuinely different samples, core/reader.py:477-487 / decision_002), so
+    votes can truly disagree (an axis whose window cuts the digit run off
+    sees no_data or a truncated value).
+
+    Same scale shape as ``_ocr_pass``: ONE broadcast-friendly equi-join,
+    then a narrow explode by axis — never a per-axis corpus rescan."""
+    kept = kept_spans.select(
+        "doc_id", (F.col("offset") + 1).alias("page_num"), "cleaned")
+    t = targets.select("doc_id", "page_num", "entity_id", "run_idx")
+    j = (t.join(kept, ["doc_id", "page_num"], "left")
+         .select("*", F.posexplode(F.array(*[F.lit(int(a)) for a in axes]))
+                 .alias("axis_idx", "_axis_val")))
+    window = F.coalesce(F.col("cleaned"), F.lit("")).substr(
+        F.lit(1), (F.col("_axis_val") * chunk_chars).cast("int"))
+    runs = F.regexp_extract_all(window, F.lit(_DIGIT_RUN), 0)
+    raw = F.get(runs, F.col("run_idx"))
+    value = normalize_ocr_digits_col(raw)
+    context = F.substring(window, 1, 64)
+    return j.select(
+        "doc_id", "entity_id", "axis_idx",
+        F.when(raw.isNotNull() & value.isNotNull(), value)
+         .otherwise(F.lit(None).cast("string")).alias("value"),
+        F.when(raw.isNotNull(), context).otherwise(F.lit(None).cast("string"))
+         .alias("context"),
+        F.when(raw.isNull() | value.isNull(), F.lit("no_data"))
+         .otherwise(F.lit("ok")).alias("status"))
+
+
 def verify(documents: DataFrame, registry: DataFrame,
            axes: tuple[int, ...] = (1, 3, 5),
            pages: list[int] | None = None,
-           kept: DataFrame | None = None) -> DataFrame:
+           kept: DataFrame | None = None,
+           axis_mode: str = "fanout",
+           axis_chunk_chars: int = AXIS_CHUNK_CHARS) -> DataFrame:
     """L2: N independent passes (J5 unionByName + axis tag) -> majority vote
     (A2) -> resolution=2 rewrite (P8) guarded by the all-errors filter (P9).
     ``pages`` restricts verify targets (P4, core/reader.py:465-466).
 
-    The reference runs N genuinely independent OCR passes
-    (core/reader.py:477-487) because its model channel is stochastic; this
-    engine is deterministic, so the N samples are derived from ONE pass with
-    a literal axis fan-out (explode) — bit-identical output to N passes,
-    N-1 fewer corpus scans.  The vote operator's full tie/error semantics
-    stay covered by the ported unit suite over heterogeneous samples."""
+    ``axis_mode='fanout'`` (default): the reference runs N genuinely
+    independent OCR passes (core/reader.py:477-487) because its model
+    channel is stochastic; this engine is deterministic, so the N samples
+    are derived from ONE pass with a literal axis fan-out (explode) —
+    bit-identical output to N passes, N-1 fewer corpus scans.
+
+    ``axis_mode='chunk'``: axis values ARE chunk sizes (the reference's
+    axes=[1,3,5] semantics) — each axis reads a different-length context
+    window, so samples genuinely disagree and the vote exercises its k/N
+    semantics end-to-end (see ``_ocr_pass_chunked``)."""
+    if axis_mode not in ("fanout", "chunk"):
+        raise ValueError(f"verify: unknown axis_mode {axis_mode!r}")
     targets = _with_run_idx(registry)
     if pages:
         targets = targets.filter(F.col("page_num").isin(pages))
     kept = kept if kept is not None else _kept_text_spans(documents)
-    samples = (_ocr_pass(kept, targets)
-               .withColumn("axis_idx",
-                           F.explode(F.array(*[F.lit(i)
-                                               for i in range(len(axes))]))))
+    if axis_mode == "chunk":
+        samples = _ocr_pass_chunked(kept, targets, axes, axis_chunk_chars)
+    else:
+        samples = (_ocr_pass(kept, targets)
+                   .withColumn("axis_idx",
+                               F.explode(F.array(*[F.lit(i)
+                                                   for i in
+                                                   range(len(axes))]))))
 
     voted = majority_vote(samples, key_cols=("doc_id", "entity_id"))
     voted = voted.filter(~F.col("confidence").startswith("0/"))  # P9

@@ -91,10 +91,63 @@ def read_binary_docs(spark: SparkSession, path: str,
     """S1 landing zone: raw files as (path, modificationTime, length,
     content).  Upstream block parsing (PDF -> spans) needs a PDF library not
     present in this container — consume the span table instead; this source
-    exists so a cluster with the parser wired can land raw files."""
+    exists so a cluster with the parser wired can land raw files.  When
+    PyMuPDF exists, ``pdf_to_spans`` converts this frame to the judged span
+    table."""
     return (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob)
             .load(path))
+
+
+def has_pdf_parser() -> bool:
+    """True when PyMuPDF (fitz) is importable — gates ``pdf_to_spans``."""
+    try:
+        import fitz  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def pdf_to_spans(binary_docs: DataFrame,
+                 batch_size: int = 8) -> DataFrame:
+    """PDF landing frame -> judged span table (doc_id, spans).
+
+    Mirrors reference preprocessing/renderer.py:35-96 (fitz page walk): each
+    text block becomes a ('text', block_text, NULL, offset) span and each
+    image xref a ('image', NULL, 'img_<page>_<i>', offset) span, offsets in
+    page-then-block order.  Arrow-batched ``mapInPandas`` — per-file work is
+    CPU-bound parsing, so the stage scales with partitions and never
+    shuffles.  Raises ImportError up front when PyMuPDF is absent (this
+    container): the plumbing is real, the kernel needs the library."""
+    if not has_pdf_parser():
+        raise ImportError(
+            "pdf_to_spans requires PyMuPDF (fitz); this environment has no "
+            "PDF library — consume the span table directly instead")
+    from ..streaming.incremental import DOCS_SCHEMA  # canonical span schema
+
+    def parse(batches):
+        import fitz
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                spans, off = [], 0
+                doc = fitz.open(stream=bytes(row["content"]),
+                                filetype="pdf")
+                for pno, page in enumerate(doc):
+                    for block in page.get_text("blocks"):
+                        text = (block[4] or "").strip()
+                        if text:
+                            spans.append(("text", text, None, off))
+                            off += 1
+                    for i, img in enumerate(page.get_images()):
+                        spans.append(("image", None, f"img_{pno}_{i}", off))
+                        off += 1
+                out.append((row["path"], spans))
+            yield pd.DataFrame(out, columns=["doc_id", "spans"])
+
+    return binary_docs.select("path", "content").mapInPandas(
+        parse, schema=DOCS_SCHEMA)
 
 
 def register_memory_views(spark: SparkSession, frames: dict) -> None:
