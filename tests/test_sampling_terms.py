@@ -1,0 +1,85 @@
+"""Deterministic sampling / split assignment (datapipe/sampling.py) and
+corpus term stats (datapipe/terms.py): the reproducibility invariants
+df.sample cannot give, plus zero-shuffle plan shapes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vlm_ocr_doc_reader_spark.datapipe.sampling import (assign_splits,
+                                                        deterministic_sample,
+                                                        stratified_sample)
+from vlm_ocr_doc_reader_spark.datapipe.terms import (heavy_hitters,
+                                                     tfidf_top_terms)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.when(F.col("doc_id") % 10 < 7, "en")
+                             .when(F.col("doc_id") % 10 < 9, "de")
+                             .otherwise("zh"))
+
+
+def test_sample_is_deterministic_and_nested(ids):
+    s10 = {r["doc_id"] for r in deterministic_sample(ids, 0.10).collect()}
+    s10b = {r["doc_id"] for r in deterministic_sample(ids, 0.10).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(ids, 0.20).collect()}
+    assert s10 == s10b                      # rerun-stable
+    assert s10 <= s20                       # nested: dialing down only drops
+    assert 0.07 < len(s10) / 2000 < 0.13    # roughly the asked fraction
+    # repartitioning must not change membership (df.sample fails this)
+    rep = {r["doc_id"]
+           for r in deterministic_sample(ids.repartition(13), 0.10).collect()}
+    assert rep == s10
+
+
+def test_sample_plan_is_narrow(ids):
+    q = deterministic_sample(ids, 0.5)
+    p = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in p
+
+
+def test_stratified_sample_fractions(ids):
+    out = stratified_sample(ids, {"zh": 1.0, "en": 0.1}, "lang",
+                            default_fraction=0.5)
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    n = {r["lang"]: r["cnt"] for r in
+         ids.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got["zh"] == n["zh"]                       # keep-all stratum
+    assert got["en"] < 0.2 * n["en"]                  # downsampled stratum
+    assert 0.35 * n["de"] < got["de"] < 0.65 * n["de"]  # default stratum
+
+
+def test_assign_splits_partitions_everything(ids):
+    out = assign_splits(ids, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 2000               # total partition
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400
+    # stable across reruns and independent of the sample draw (salts differ)
+    again = {(r["doc_id"], r["split"]) for r in assign_splits(
+        ids, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {(r["doc_id"], r["split"]) for r in out.collect()}
+    assert first == again
+
+    with pytest.raises(ValueError):
+        assign_splits(ids, {"a": 0.5, "b": 0.6})
+
+
+def test_heavy_hitters_and_tfidf(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"),
+         (3, "banana banana banana date")],
+        "doc_id int, text string")
+    hh = heavy_hitters(docs, k=2).collect()
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in hh] == [
+        ("banana", 4, 2), ("apple", 3, 2)]
+
+    tt = {r["id"]: r["token"] for r in
+          tfidf_top_terms(docs, k=1).collect()}
+    # 'date' is unique to doc 3 but tf=1 vs banana tf=3: banana wins there;
+    # doc 2's 'cherry' (unique) beats the common 'apple'
+    assert tt[2] == "cherry" and tt[3] == "banana"

@@ -716,6 +716,126 @@ FROM documents
 """
 
 
+# non-distinct per-doc token counts (terms.doc_token_counts' DuckDB twin)
+_DUCK_TF = """
+  SELECT id, token, count(*) AS tf FROM (
+    SELECT doc_id AS id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS token
+    FROM documents) WHERE token <> '' GROUP BY id, token
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus-wide top-50 tokens: partial-agg counting + top-k via
+    TakeOrderedAndProject (never a global sort)."""
+    from .datapipe.terms import heavy_hitters
+    return heavy_hitters(load(spark, sf_dir, "documents"), k=50)
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH tf AS ({_DUCK_TF})
+SELECT token, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM tf GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc (smoothed idf, deterministic ties)."""
+    from .datapipe.terms import tfidf_top_terms
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_TFIDF = f"""
+WITH tf AS ({_DUCK_TF}),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.token,
+         tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY tfidf DESC, token ASC) AS rank FROM scored
+)
+SELECT id, token, round(tfidf, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def _hash_hex_threshold(fraction: float) -> str:
+    """12-hex-digit threshold T such that the sampling predicate
+    ``md5_prefix_as_int / 16^12 < fraction`` (exact in doubles: the prefix
+    int < 2^48 <= 2^53 and /2^48 is a power-of-two scale) is equivalent to
+    the portable STRING compare ``substr(md5(x),1,12) < hex(T)`` — hex
+    order == numeric order at fixed width.  Only valid for fraction < 1."""
+    import math
+    assert 0.0 <= fraction < 1.0
+    return format(math.ceil(fraction * (1 << 48)), "012x")
+
+
+def q_det_sample(spark, sf_dir):
+    """Deterministic 25% sample keyed on md5(doc_id): reproducible across
+    runs/engines/partitionings (df.sample is none of those); zero shuffle."""
+    from .datapipe.sampling import deterministic_sample
+    d = load(spark, sf_dir, "documents")
+    return deterministic_sample(d, 0.25).select("doc_id")
+
+
+ORACLE_DET_SAMPLE = f"""
+SELECT doc_id FROM documents
+WHERE substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 12)
+      < '{_hash_hex_threshold(0.25)}'
+"""
+
+
+def q_strat_sample(spark, sf_dir):
+    """Stratified rebalancing sample: keep all zh docs, 20% of en, 50% of
+    everything else — the language-rebalance pattern at corpus scale."""
+    from .datapipe.sampling import stratified_sample
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, {"en": 0.2, "zh": 1.0}, "lang",
+                             default_fraction=0.5) \
+        .select("doc_id", "lang")
+
+
+ORACLE_STRAT_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'zh')
+   OR (lang = 'en' AND substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 12)
+       < '{_hash_hex_threshold(0.2)}')
+   OR (lang NOT IN ('en', 'zh')
+       AND substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 12)
+       < '{_hash_hex_threshold(0.5)}')
+"""
+
+
+def q_split_assign(spark, sf_dir):
+    """80/10/10 train/val/test assignment from the id hash draw — every doc
+    in exactly one split, stable forever, disjoint salt from sampling."""
+    from .datapipe.sampling import assign_splits
+    d = load(spark, sf_dir, "documents")
+    return assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
+def _oracle_split_assign() -> str:
+    # cumulative boundaries over sorted split names (test, train, val) —
+    # EXACTLY the accumulation assign_splits performs
+    bounds = []
+    cum = 0.0
+    for name, w in (("test", 0.1), ("train", 0.8)):
+        cum += w
+        bounds.append((name, _hash_hex_threshold(cum)))
+    case = "CASE"
+    for name, hx in bounds:
+        case += (f" WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, "
+                 f"12) < '{hx}' THEN '{name}'")
+    case += " ELSE 'val' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
 def q_fingerprint(spark, sf_dir):
     from .datapipe.textstats import fingerprint
     d = load(spark, sf_dir, "documents")
@@ -1812,6 +1932,11 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "heavy_hitters": q_heavy_hitters,
+    "tfidf": q_tfidf,
+    "det_sample": q_det_sample,
+    "strat_sample": q_strat_sample,
+    "split_assign": q_split_assign,
     "consistency": q_consistency,
     "fence_strip": q_fence_strip,
     "extract_flat": q_extract_flat,
@@ -1872,6 +1997,11 @@ ORACLES = {
     "lang_id": _oracle_lang_id(),
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "tfidf": ORACLE_TFIDF,
+    "det_sample": ORACLE_DET_SAMPLE,
+    "strat_sample": ORACLE_STRAT_SAMPLE,
+    "split_assign": _oracle_split_assign(),
     "consistency": ORACLE_CONSISTENCY,
     "fence_strip": ORACLE_FENCE,
     "extract_flat": oracle_extract_flat(),

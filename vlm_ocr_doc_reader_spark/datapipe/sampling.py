@@ -1,0 +1,85 @@
+"""Deterministic sampling and split assignment for training-data pipelines.
+
+Training-data curation needs samples and train/val/test splits that are
+(a) reproducible across reruns and engines, (b) stable under repartitioning,
+and (c) computable without any shuffle.  Spark's ``df.sample`` is none of
+these (seeded per-partition RNG — resplitting the input changes the
+sample), so these operators key every decision on a content hash of the id:
+md5 is uniform, engine-independent, and gives every row an i.i.d. U[0,1)
+draw that never changes.
+
+Scale shape: every operator here is a narrow per-row projection/filter —
+ZERO shuffles, trivially parallel at any corpus size, and pushdown-friendly
+(the hash filter sits directly above the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 prefix width used for the uniform draw: 12 hex chars = 48 bits,
+# plenty of resolution and safely inside a BIGINT
+_HEX_DIGITS = 12
+_DENOM = float(16 ** _HEX_DIGITS)
+
+
+def hash_uniform_col(key: Column, salt: str = "") -> Column:
+    """Deterministic U[0,1) draw per key: the first 12 hex chars of
+    md5(salt || key) as a fraction.  Different ``salt`` values give
+    independent draws (e.g. one for sampling, one for splitting)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("double")
+            / F.lit(_DENOM))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id",
+                         salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by the id's hash draw —
+    reproducible across runs, engines, and repartitioning (unlike
+    ``df.sample``).  A row is in the 10% sample iff it is in the 20% sample
+    (nested samples), which is what curation pipelines want when they
+    dial a corpus down."""
+    return df.filter(hash_uniform_col(F.col(id_col), salt) < fraction)
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, id_col: str = "doc_id",
+                      default_fraction: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of rare languages, 5% of the dominant one).  ``fractions``
+    maps stratum value -> keep fraction; unlisted strata get
+    ``default_fraction``.  Same zero-shuffle shape: the per-row draw is
+    compared against a CASE over the stratum column."""
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))) \
+            .otherwise(frac)
+    return df.filter(hash_uniform_col(F.col(id_col), salt) < frac)
+
+
+def assign_splits(df: DataFrame, weights: dict[str, float],
+                  id_col: str = "doc_id",
+                  salt: str = "split",
+                  out_col: str = "split") -> DataFrame:
+    """Add a train/val/test (or arbitrary) split column from the hash draw:
+    split boundaries are the cumulative weights, applied in sorted split-name
+    order for determinism.  Every row gets exactly one split; weights must
+    sum to ~1 (validated).  Disjoint salt from sampling so membership in a
+    sample is independent of the split."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"assign_splits: weights sum to {total}, expect 1")
+    draw = hash_uniform_col(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        branch = F.when(draw < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(draw < cum, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

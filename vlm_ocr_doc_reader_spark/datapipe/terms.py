@@ -1,0 +1,68 @@
+"""Corpus term statistics: heavy hitters and TF-IDF top terms.
+
+Training-data curation uses corpus-wide token frequencies (vocabulary
+pruning, junk detection) and per-document salient terms (topic tagging,
+dedup keys).  Everything here is exact and built-in-only, so each operator
+has a DuckDB oracle.
+
+Scale notes:
+  * token counting is explode + hash aggregate — map-side partial combine
+    means the shuffle carries (token, partial_count), not token instances;
+  * heavy hitters' final top-k compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge of k rows — never a global sort);
+  * TF-IDF joins the per-token document frequency back through the token
+    table; the document count N is a 1-row aggregate (broadcast), and the
+    per-doc top-k is a window over doc_id — well-distributed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _norm
+
+
+def doc_token_counts(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, token, tf): non-distinct token counts per document."""
+    return (df
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.split(_norm(F.col(text_col)), " "))
+                     .alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("id", "token")
+            .agg(F.count("*").alias("tf")))
+
+
+def heavy_hitters(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Top-k tokens by corpus frequency (ties broken by token order).
+    Output: (token, n_occurrences, n_docs)."""
+    counts = (doc_token_counts(df, id_col, text_col)
+              .groupBy("token")
+              .agg(F.sum("tf").alias("n_occurrences"),
+                   F.count("*").alias("n_docs")))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by TF-IDF, idf = ln((N + 1) / (df + 1))
+    (smoothed; N = corpus document count).  Output:
+    (id, token, tfidf double, rank) with deterministic tie-breaks
+    (higher tfidf, then token order)."""
+    tf = doc_token_counts(df, id_col, text_col)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = df.select(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn(
+                  "tfidf",
+                  (F.col("tf") * F.log((F.col("n_docs") + 1)
+                                       / (F.col("df") + 1))).cast("double")))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "token", F.round("tfidf", 6).alias("tfidf"),
+                    "rank"))
