@@ -1029,6 +1029,54 @@ GROUP BY 1, 2
 """
 
 
+def q_event_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`): p50/p95 of event value by type.  Scale note:
+    exact percentile sorts within each group's aggregation buffer — fine for
+    bounded groups; unbounded-cardinality groups would switch to
+    approx_percentile (t-digest) and lose the exact oracle."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.95))")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.get(pct, 0), 6).alias("p50"),
+                 F.round(F.get(pct, 1), 6).alias("p95")))
+
+
+ORACLE_EVENT_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns.  The value set is
+    pinned (pivot(col, values)) so Spark skips the extra distinct-values
+    job and the plan is ONE hash aggregate — at corpus scale an unpinned
+    pivot pays a full scan just to learn the columns."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types)
+            .select("user_id",
+                    *[F.col(t).cast("long").alias(f"n_{t}") for t in types]))
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def q_range_join_left(spark, sf_dir):
     """Left range join: every event keeps a row; events outside any LONG
     session (>= 10 events) carry a null session_id — the outer variant whose
@@ -1959,6 +2007,8 @@ QUERIES = {
     "repetition": q_repetition,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "event_percentiles": q_event_percentiles,
+    "event_pivot": q_event_pivot,
     "range_join": q_range_join,
     "range_join_left": q_range_join_left,
     "time_rollup": q_time_rollup,
@@ -2024,6 +2074,8 @@ ORACLES = {
     "repetition": ORACLE_REPETITION,
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF,
+    "event_percentiles": ORACLE_EVENT_PERCENTILES,
+    "event_pivot": ORACLE_EVENT_PIVOT,
     "range_join": ORACLE_RANGE_JOIN,
     "range_join_left": ORACLE_RANGE_JOIN_LEFT,
     "time_rollup": ORACLE_TIME_ROLLUP,
