@@ -53,7 +53,8 @@ def test_extract_fused_has_no_exchange(spark):
     df = spark.read.parquet(p_)
     p = plan(extract(df, strategy="fused"))
     assert "Exchange" not in p
-    assert "FlatMapsInPandas" in p or "MapInPandas" in p
+    assert ("MapInArrow" in p or "FlatMapsInPandas" in p
+            or "MapInPandas" in p)
 
 
 def test_jaccard_candidates_prune_before_aggregate(spark):

@@ -57,6 +57,22 @@ def test_fused_auto_fallback_routes_mega_docs(corpus_df):
     assert "Exchange" not in plan and "Union" not in plan
 
 
+def test_vectorized_fused_equals_scalar_oracle_form(corpus_df):
+    """The default fused strategy is Arrow-kernel vectorized
+    (fused.extract_batch / _extract_arrow_batch, RE2 regexes); the scalar
+    per-doc oracle form (fused_extract_rows_scalar) is the drift guard —
+    both must be byte-identical on the corpus including mega/edge docs."""
+    from vlm_ocr_doc_reader_spark.operators.fused import (
+        fused_extract_rows, fused_extract_rows_scalar)
+    a = {r["doc_id"]: r["spans"]
+         for r in fused_extract_rows(corpus_df).collect()}
+    b = {r["doc_id"]: r["spans"]
+         for r in fused_extract_rows_scalar(corpus_df).collect()}
+    assert set(a) == set(b)
+    diff = [d for d in a if a[d] != b[d]]
+    assert not diff, f"{len(diff)} docs differ; first: {diff[0]}"
+
+
 def test_fused_raw_equals_fused(corpus_df):
     """The landing-shape (pre-exploded) strategy keeps the same contract —
     including docs whose spans are all pruned before the exchange."""

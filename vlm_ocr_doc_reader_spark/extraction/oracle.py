@@ -55,6 +55,19 @@ def extract_doc(spans: List[InSpan]) -> List[OutSpan]:
                 "kind": kind, "text": cleaned, "media_ref": mref,
                 "offset": offset, "bbox": bbox, "anchors": anchors,
             })
+    return order_kept(kept)
+
+
+def order_kept(kept: List[dict]) -> List[OutSpan]:
+    """Steps 2-4 of the extraction on ALREADY-classified spans: reading
+    rank (XY-cut / offset), media-anchor reconciliation, final ordering.
+
+    ``kept``: dicts with kind, text (cleaned), media_ref (None-normalized),
+    offset (int), bbox (tuple|None), anchors (list) — MUST already be
+    offset-sorted and classification-filtered.  This is the single
+    implementation of ordering semantics: the oracle and every fused Spark
+    strategy (scalar and vectorized) call THIS function, so the per-doc
+    stage cannot drift between them."""
     if not kept:
         return []
 

@@ -111,17 +111,225 @@ def _oracle_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+# --- RE2-safe twins of the spec regexes (Arrow compute kernels run RE2,
+# --- not Python sre).  Divergence hazards handled explicitly:
+# ---   * Python re.ASCII \s == [ \t\n\r\f\v]; RE2 \s LACKS \v -> spell the
+# ---     class out;
+# ---   * Python re.ASCII \d == [0-9]; RE2 \d is [0-9] by default but the
+# ---     explicit class removes any doubt;
+# ---   * extract_regex needs named groups.
+# --- Parity with the sre originals is enforced by the strategy-equality,
+# --- golden, adversarial-fuzz, and unicode-parity suites.
+_BBOX_RE2 = (r"^@@bbox:(?P<x0>[0-9]+),(?P<y0>[0-9]+),"
+             r"(?P<x1>[0-9]+),(?P<y1>[0-9]+)@@")
+_BBOX_RE2_SUB = r"^@@bbox:[0-9]+,[0-9]+,[0-9]+,[0-9]+@@"
+_ANCHOR_RE2 = spec.ANCHOR_RE          # no \s/\d classes — RE2-identical
+_NAV_RE2 = spec.NAV_RE                # escaped ASCII literals
+_WS_RE2 = r"[ \t\n\r\f\v]+"
+
+
+def _extract_arrow_batch(doc_ids, spans):
+    """One Arrow RecordBatch column pair -> list of per-doc OutSpan lists.
+
+    The per-SPAN stage (quarantine, bbox parse/strip, cleaning, keep
+    classification) runs entirely in Arrow C++ kernels over the flattened
+    span table — no Python object materializes for a span that
+    classification drops.  Anchor findall (no Arrow kernel exists) runs
+    scalar-Python but only on spans that contain '[[' (the same fast-path
+    gate the scalar spec uses).  The per-DOC stage converts only KEPT spans
+    to Python and calls the shared ``oracle.order_kept`` — ordering has
+    exactly one implementation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..extraction.oracle import order_kept
+
+    n_docs = len(doc_ids)
+    out = [[] for _ in range(n_docs)]
+    if n_docs == 0:
+        return out
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    flat = spans.flatten()
+    if len(flat) == 0:
+        return out
+    kind = flat.field("kind")
+    text = flat.field("text")
+    mref = flat.field("media_ref")
+    off = flat.field("offset")
+
+    # quarantine (P5: null kind/offset) + outright boiler/link drop
+    mask = pc.and_kleene(
+        pc.and_kleene(pc.is_valid(kind), pc.is_valid(off)),
+        pc.invert(pc.fill_null(
+            pc.is_in(kind, value_set=pa.array(["boilerplate", "link"])),
+            True)))
+    mask = pc.fill_null(mask, False)
+    sel = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    if len(sel) == 0:
+        return out
+    idx = pa.array(sel)
+    kind, text, mref, off = (c.take(idx) for c in (kind, text, mref, off))
+    parent = parent[sel]
+
+    t = pc.coalesce(text, "")
+    bbox_grp = pc.extract_regex(t, _BBOX_RE2)
+    wo = pc.replace_substring_regex(t, _BBOX_RE2_SUB, "")
+    cleaned = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(wo, _ANCHOR_RE2, " "),
+            _WS_RE2, " "),
+        spec._ASCII_WS)
+
+    # classification (spec.classify_keep, kernel form)
+    nonempty = pc.not_equal(cleaned, "")
+    mref_ok = pc.fill_null(pc.not_equal(mref, ""), False)
+    is_media = pc.is_in(kind, value_set=pa.array(["image", "table"]))
+    keep = pc.and_(is_media, mref_ok)
+    keep = pc.or_(keep, pc.and_(pc.equal(kind, "heading"), nonempty))
+    low = pc.utf8_lower(cleaned)
+    nav = pc.match_substring_regex(low, _NAV_RE2)
+    nwords = pc.add(pc.count_substring(cleaned, " "), 1)
+    pipes = pc.count_substring(cleaned, "|")
+    ends = pc.is_in(pc.utf8_slice_codeunits(cleaned, start=-1, stop=2**30),
+                    value_set=pa.array(list(spec.SENTENCE_END)))
+    text_keep = pc.and_(pc.and_(pc.equal(kind, "text"), nonempty),
+                        pc.and_(pc.invert(nav), pc.and_(
+                            pc.invert(pc.greater(
+                                pc.cast(pipes, "double"),
+                                pc.multiply(pc.cast(nwords, "double"),
+                                            spec.PIPE_RATIO))),
+                            pc.or_(pc.greater_equal(nwords,
+                                                    spec.MIN_WORDS),
+                                   ends))))
+    keep = pc.or_(keep, text_keep)
+
+    kept = np.flatnonzero(pc.fill_null(keep, False).to_numpy(
+        zero_copy_only=False))
+    if len(kept) == 0:
+        return out
+    kidx = pa.array(kept)
+
+    # only KEPT spans become Python objects
+    k_kind = kind.take(kidx).to_pylist()
+    k_clean = cleaned.take(kidx).to_pylist()
+    k_mref = mref.take(kidx).to_pylist()
+    k_off = off.take(kidx).to_numpy(zero_copy_only=False).astype("int64")
+    k_parent = parent[kept]
+    bb = bbox_grp.take(kidx)
+    bb_valid = pc.is_valid(bb).to_numpy(zero_copy_only=False)
+    # numeric bbox fields via cast->numpy: no per-span Python objects
+    # (non-matching rows are struct-null but their CHILD slots hold "" —
+    # mask to a parseable sentinel before the cast)
+    bb_valid_a = pc.is_valid(bb)
+    bb_f = [pc.cast(pc.if_else(bb_valid_a, bb.field(g), "-1"), "int64")
+            .to_numpy(zero_copy_only=False)
+            for g in ("x0", "y0", "x1", "y1")]
+    # anchors exist only where the pre-bbox-stripped text contains '[[' —
+    # materialize Python strings for exactly those spans
+    k_wo_arr = wo.take(kidx)
+    anch_mask = pc.match_substring(k_wo_arr, "[[").to_numpy(
+        zero_copy_only=False)
+    anch_rows = np.flatnonzero(anch_mask)
+    anch_map = {int(i): spec._anchor_c.findall(s) for i, s in zip(
+        anch_rows, k_wo_arr.take(pa.array(anch_rows)).to_pylist())} \
+        if len(anch_rows) else {}
+
+    is_media_k = pc.is_in(kind.take(kidx),
+                          value_set=pa.array(["image", "table"])) \
+        .to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((k_off, k_parent))
+    sorted_parent = k_parent[order]
+    bounds = np.flatnonzero(np.diff(sorted_parent)) + 1
+    for grp in np.split(order, bounds):
+        di = int(k_parent[grp[0]])
+        # FAST PATH (the common, non-layout, non-media document): with no
+        # media spans there are no claims, and without a full bbox cover
+        # rank == offset — the final order IS the offset order we already
+        # iterate in, so the output tuples are emitted directly (no dicts,
+        # no order_kept).  Semantically identical by the order_kept rules;
+        # equality is enforced by the strategy-equivalence suites.
+        if not is_media_k[grp].any() and not bb_valid[grp].all():
+            out[di] = [
+                (k_kind[p], k_clean[p], (k_mref[p] or None), i)
+                for i, p in enumerate(map(int, grp))]
+            continue
+        group = []
+        for pos in map(int, grp):
+            m = k_mref[pos]
+            group.append({
+                "kind": k_kind[pos],
+                "text": k_clean[pos],
+                "media_ref": m if m else None,
+                "offset": int(k_off[pos]),
+                "bbox": ((int(bb_f[0][pos]), int(bb_f[1][pos]),
+                          int(bb_f[2][pos]), int(bb_f[3][pos]))
+                         if bb_valid[pos] else None),
+                "anchors": anch_map.get(pos, []),
+            })
+        out[di] = order_kept(group)
+    return out
+
+
+def extract_batch(spans_lists: list) -> list:
+    """Vectorized batch extraction over plain Python span lists (one per
+    doc) — converts to Arrow once and runs ``_extract_arrow_batch``.
+    Returns a list of OutSpan-tuple lists.  Kept as the Python-side entry
+    for tests; the Spark path feeds Arrow batches directly (zero object
+    churn for dropped spans)."""
+    import pyarrow as pa
+    lt = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                             ("media_ref", pa.string()),
+                             ("offset", pa.int64())]))
+    spans = pa.array(
+        [None if sp is None else
+         [{"kind": s["kind"], "text": s["text"],
+           "media_ref": s["media_ref"], "offset": s["offset"]} for s in sp]
+         for sp in spans_lists], type=lt)
+    return _extract_arrow_batch(list(range(len(spans_lists))), spans)
+
+
 def fused_extract_rows(documents: DataFrame) -> DataFrame:
     """(doc_id, spans) -> (doc_id, spans) with ZERO shuffle.
 
     The input table already co-locates each document's spans in one row —
     the grouping the declarative path reconstructs with an exchange is free
-    here.  So the scale plan is a pure ``mapInPandas`` map: scan -> Arrow
-    batch -> per-doc shared extraction -> write.  Embarrassingly parallel,
-    no exchange, no skew (a mega doc is one row; Arrow batch size bounds
-    worker memory).  Rows map 1:1, so empty/all-boilerplate docs keep their
-    row with an empty spans array (the judged contract).
+    here.  So the scale plan is a pure ``mapInArrow`` map: scan -> Arrow
+    batch -> kernel-vectorized batch extraction (``_extract_arrow_batch``)
+    -> write.  Embarrassingly parallel, no exchange, no skew (a mega doc is
+    one row; Arrow batch size bounds worker memory).  Rows map 1:1, so
+    empty/all-boilerplate docs keep their row with an empty spans array
+    (the judged contract).
     """
+    import pyarrow as pa
+
+    out_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("order", pa.int32())]))
+
+    def batches(it):
+        for rb in it:
+            doc_ids = rb.column(0)
+            results = _extract_arrow_batch(doc_ids, rb.column(1))
+            spans_out = pa.array(
+                [[{"kind": k, "text": t, "media_ref": m, "order": o}
+                  for k, t, m, o in res] for res in results],
+                type=out_type)
+            yield pa.RecordBatch.from_arrays([doc_ids, spans_out],
+                                             names=["doc_id", "spans"])
+
+    return documents.select("doc_id", "spans").mapInArrow(
+        batches, schema=_NESTED_SCHEMA)
+
+
+def fused_extract_rows_scalar(documents: DataFrame) -> DataFrame:
+    """Row-at-a-time reference form of ``fused_extract_rows``: calls the
+    scalar golden oracle per document.  Kept as the drift guard the
+    vectorized default is tested against (test_strategies_equal) and as the
+    fallback while debugging batch-shape issues."""
     from ..extraction.oracle import extract_doc
 
     def batches(it: "Iterable[pd.DataFrame]"):
