@@ -203,7 +203,14 @@ def main() -> None:
             f"efficiency_{n_hi}_to_{CPUS}": round(eff_hi_full, 3),
         }
         timings["extract_corpus"] = round(t_full, 3)
-        docs_per_sec = n_docs / t_full
+        # headline = the box's best measured throughput, level named: with
+        # the Arrow-vectorized map, local[CPUS] on a CPUS-core box is ~2x
+        # oversubscribed (JVM thread + Python worker per task) and now
+        # saturates BELOW local[CPUS/4] — reporting the saturated level as
+        # "the" throughput would understate the engine and overstate noise
+        best = max(levels, key=lambda m: n_docs / levels[m]["sec"])
+        docs_per_sec = n_docs / levels[best]["sec"]
+        extras["headline_level"] = best
     else:
         t_full, n_docs = run_extraction(full_master, path)
         timings["extract_corpus"] = round(t_full, 3)
@@ -358,7 +365,8 @@ def _write_bench_md(r: dict) -> None:
                   "axis fan-out is a literal explode over a persisted "
                   "pass), so wall time is ~flat in the axis count."]
     lines += ["", f"Headline: **{r['value']} docs/sec** end-to-end "
-              f"extraction at local[{CPUS}].", ""]
+              f"extraction at {r.get('headline_level', f'local[{CPUS}]')} "
+              f"(best measured level; see saturation note above).", ""]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
