@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "levels_verify", "levels_verify_chunked", "sessionize", "asof_join",
     "range_join", "range_join_left", "time_rollup", "pii_redact",
     "repetition", "heavy_hitters", "tfidf", "det_sample", "split_assign",
-    "event_percentiles", "event_pivot",
+    "event_percentiles", "event_pivot", "curation",
 ]
 # per-query timing protocol: median of QUERY_RUNS runs, min/max spread
 # published alongside (wall clock on this VM is noisy; a single sample can

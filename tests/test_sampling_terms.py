@@ -83,3 +83,26 @@ def test_heavy_hitters_and_tfidf(spark):
     # 'date' is unique to doc 3 but tf=1 vs banana tf=3: banana wins there;
     # doc 2's 'cherry' (unique) beats the common 'apple'
     assert tt[2] == "cherry" and tt[3] == "banana"
+
+
+def test_curate_corpus_policies(spark):
+    """Each drop policy fires on a doc built to trigger exactly it, and
+    survivors carry a split assignment."""
+    from vlm_ocr_doc_reader_spark.datapipe.curate import curate_corpus
+    good = ("the data and the model of the pipeline runs well and the "
+            "results are good and the work continues for the team today.")
+    rows = [
+        (1, good),                          # survives
+        (2, good),                          # exact dup of 1 -> dropped
+        (3, good + " extra tail word."),    # near dup of 1 -> dropped
+        (4, "der Tisch und die Daten der der und und die die der und."),  # de
+        (5, "!!!"),                         # quality floor
+        (6, "the unique and different of content about spark engines "
+            "and the rows and the tables and the shuffles everywhere."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate_corpus(
+        df, min_quality=0.3, jaccard_threshold=0.5).collect()}
+    assert set(out) == {1, 6}
+    assert all(r["pred_lang"] == "en" for r in out.values())
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())

@@ -661,7 +661,10 @@ def q_lang_id(spark, sf_dir):
     return lang_id(d).select("doc_id", "pred_lang")
 
 
-def _oracle_lang_id() -> str:
+def _lang_id_cols_sql() -> str:
+    """SQL column list computing the lang-id marker-hit and script-count
+    intermediates (h_* / s_*) from a `text` column — shared by the lang_id
+    oracle and the composed curation oracle."""
     from .datapipe.textstats import LANG_MARKERS, SCRIPT_RANGES
     hit_cols = ",\n       ".join(
         f"len(regexp_extract_all(lower(text), "
@@ -674,6 +677,13 @@ def _oracle_lang_id() -> str:
         for c, (lo, hi) in sorted(SCRIPT_RANGES.items()))
     latin = ("length(lower(coalesce(text, ''))) - length(regexp_replace("
              "lower(coalesce(text, '')), '[a-z]', '', 'g')) AS s_lat")
+    return f"{hit_cols},\n       {script_cols},\n       {latin}"
+
+
+def _lang_id_case_sql() -> str:
+    """The decision CASE over the h_*/s_* intermediates (script dominance
+    first, then the marker vote, 'und' fallback)."""
+    from .datapipe.textstats import LANG_MARKERS, SCRIPT_RANGES
     codes = sorted(LANG_MARKERS)
     # fold: first strictly-greater wins, scanning codes in sorted order
     m = ", ".join(f"h_{c}" for c in codes)
@@ -688,11 +698,13 @@ def _oracle_lang_id() -> str:
         rivals = ", ".join([f"s_{r}" for r in scodes if r != c] + ["s_lat"])
         case += f" WHEN s_{c} > greatest({rivals}) THEN '{c}'"
     case += f" ELSE {marker_case} END"
+    return case
+
+
+def _oracle_lang_id() -> str:
     return f"""
-WITH h AS (SELECT doc_id, {hit_cols},
-       {script_cols},
-       {latin} FROM documents)
-SELECT doc_id, {case} AS pred_lang FROM h
+WITH h AS (SELECT doc_id, {_lang_id_cols_sql()} FROM documents)
+SELECT doc_id, {_lang_id_case_sql()} AS pred_lang FROM h
 """
 
 
@@ -834,6 +846,101 @@ def _oracle_split_assign() -> str:
                  f"12) < '{hx}' THEN '{name}'")
     case += " ELSE 'val' END"
     return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def q_curation(spark, sf_dir):
+    """Flagship composed pipeline: quality floor -> language allowlist ->
+    exact dedup (canonical min-id) -> MinHash-LSH + exact-Jaccard near-dup
+    (greedy keep-smallest-id) -> train/val/test assignment.  Every stage is
+    an already-gated operator; this entry gates their COMPOSITION."""
+    from .datapipe.curate import curate_corpus
+    return curate_corpus(load(spark, sf_dir, "documents"))
+
+
+def _oracle_curation(min_quality: float = 0.55, lang: str = "en",
+                     jacc: float = 0.8) -> str:
+    bounds = []
+    cum = 0.0
+    for name, w in (("test", 0.1), ("train", 0.8)):
+        cum += w
+        bounds.append((name, _hash_hex_threshold(cum)))
+    split_case = "CASE"
+    for name, hx in bounds:
+        split_case += (f" WHEN substr(md5('split' || CAST(doc_id AS "
+                       f"VARCHAR)), 1, 12) < '{hx}' THEN '{name}'")
+    split_case += " ELSE 'val' END"
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b({"|".join(STOPWORDS)})\\b')) AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, text,
+       round(least(n_tokens / 50.0, 1.0) * 0.4
+             + least(CASE WHEN n_tokens > 0
+                     THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0 END
+                     * 5.0, 1.0) * 0.3
+             + (1.0 - least(CASE WHEN n_chars > 0
+                            THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END
+                            * 4.0, 1.0)) * 0.3, 6) AS quality_score
+  FROM f
+), q AS (SELECT * FROM scored WHERE quality_score >= {min_quality}),
+h AS (SELECT q.*, {_lang_id_cols_sql()} FROM q),
+tagged AS (
+  SELECT doc_id, text, quality_score,
+         {_lang_id_case_sql()} AS pred_lang FROM h
+), lq AS (SELECT * FROM tagged WHERE pred_lang = '{lang}'),
+dg AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         AS digest FROM lq
+), canon AS (SELECT digest, min(doc_id) AS doc_id FROM dg GROUP BY digest),
+exact AS (SELECT dg.* FROM dg JOIN canon USING (digest, doc_id)),
+toks AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                 'g')), ' ') AS words
+        FROM exact) d,
+       LATERAL (SELECT unnest(generate_series(1,
+                CASE WHEN len(words) >= 3 THEN len(words) - 2 ELSE 1 END))
+                AS i) g
+), sig AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY id, seed
+), bands AS (
+  SELECT id, CAST(floor(seed / 2) AS INTEGER) AS band_idx,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+             ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_hash
+  FROM sig GROUP BY id, floor(seed / 2)
+), sized AS (
+  SELECT band_idx, band_hash FROM bands GROUP BY band_idx, band_hash
+  HAVING count(*) > 1 AND count(*) <= 1000
+), b AS (SELECT bands.* FROM bands JOIN sized USING (band_idx, band_hash)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c USING (band_idx, band_hash) WHERE a.id < c.id
+), sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+  FROM cand JOIN toks t1 ON t1.id = cand.id_a
+            JOIN toks t2 ON t2.id = cand.id_b AND t2.shingle = t1.shingle
+  GROUP BY cand.id_a, cand.id_b
+), dropped AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {jacc}
+)
+SELECT doc_id, pred_lang, quality_score, {split_case} AS split
+FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1985,6 +2092,7 @@ QUERIES = {
     "det_sample": q_det_sample,
     "strat_sample": q_strat_sample,
     "split_assign": q_split_assign,
+    "curation": q_curation,
     "consistency": q_consistency,
     "fence_strip": q_fence_strip,
     "extract_flat": q_extract_flat,
@@ -2052,6 +2160,7 @@ ORACLES = {
     "det_sample": ORACLE_DET_SAMPLE,
     "strat_sample": ORACLE_STRAT_SAMPLE,
     "split_assign": _oracle_split_assign(),
+    "curation": _oracle_curation(),
     "consistency": ORACLE_CONSISTENCY,
     "fence_strip": ORACLE_FENCE,
     "extract_flat": oracle_extract_flat(),
