@@ -185,18 +185,22 @@ def main() -> None:
         # worker (~2 cores/task), so full==CPUS measures saturation — the
         # number is published, not hidden in prose
         eff_hi_full = (thr_full / thr_hi) / (CPUS / n_hi)
+        import statistics
+
+        def _level(master_key, t_min, thr_min):
+            med = statistics.median(levels[master_key]["times"])
+            return {"sec": round(t_min, 2),
+                    "docs_per_sec": round(thr_min, 1),
+                    "sec_median": round(med, 2),
+                    "docs_per_sec_median": round(n_docs / med, 1),
+                    "times": levels[master_key]["times"]}
+
         extras["scaling"] = {
             "input_docs": n_docs,
             "rounds": SCALING_ROUNDS,
-            lo_master: {"sec": round(t_lo, 2),
-                        "docs_per_sec": round(thr_lo, 1),
-                        "times": levels[lo_master]["times"]},
-            hi_master: {"sec": round(t_hi, 2),
-                        "docs_per_sec": round(thr_hi, 1),
-                        "times": levels[hi_master]["times"]},
-            full_master: {"sec": round(t_full, 2),
-                          "docs_per_sec": round(thr_full, 1),
-                          "times": levels[full_master]["times"]},
+            lo_master: _level(lo_master, t_lo, thr_lo),
+            hi_master: _level(hi_master, t_hi, thr_hi),
+            full_master: _level(full_master, t_full, thr_full),
             "speedup": round(thr_hi / thr_lo, 3),
             "efficiency": round(eff, 3),
             f"speedup_{n_hi}_to_{CPUS}": round(thr_full / thr_hi, 3),
@@ -211,6 +215,11 @@ def main() -> None:
         best = max(levels, key=lambda m: n_docs / levels[m]["sec"])
         docs_per_sec = n_docs / levels[best]["sec"]
         extras["headline_level"] = best
+        # median-based headline published ALONGSIDE the min-based one (the
+        # min controls for GC/JIT/steal noise; the median is what a typical
+        # run sees — both per-round times are in scaling[level]["times"])
+        extras["docs_per_sec_median"] = round(
+            n_docs / statistics.median(levels[best]["times"]), 1)
     else:
         t_full, n_docs = run_extraction(full_master, path)
         timings["extract_corpus"] = round(t_full, 3)

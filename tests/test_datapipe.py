@@ -56,6 +56,47 @@ def test_minhash_band_buckets_narrow_equals_exploded(docs):
     assert "Exchange" not in plan
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) must collapse to ONE component even
+    though 1 and 4 share no edge (the case the greedy policy over-drops);
+    a separate pair and an isolated provided node stay distinct."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a int, id_b int")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # explicit node universe: singletons appear as their own component
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                  "id int")
+    got2 = {r["id"]: r["component"]
+            for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got2[99] == 99 and got2[4] == 1
+
+
+def test_connected_components_converges_under_max_iter(spark):
+    """A long path graph needs ~diameter rounds; max_iter below that leaves
+    labels unconverged only if the loop ignored convergence — with the
+    change-count check it must still be exact for a diameter within
+    max_iter, and a tight max_iter is respected."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import connected_components
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a int, id_b int")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs, max_iter=25).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_duplicate_clusters_end_to_end(docs):
+    """docs 1,2 are identical after normalization -> same cluster with
+    component = min id; unrelated docs don't appear."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import duplicate_clusters
+    got = {r["id"]: r["component"]
+           for r in duplicate_clusters(docs, threshold=0.8).collect()}
+    assert got.get(1) == 1 and got.get(2) == 1
+
+
 def test_jaccard(docs):
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in jaccard_pairs(docs.filter("doc_id in (1,2,3)")).collect()}

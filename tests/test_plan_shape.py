@@ -82,6 +82,33 @@ def test_jaccard_candidates_prune_before_aggregate(spark):
     assert re.search(r"Join.*id_a#\d+", p, re.DOTALL)
 
 
+def test_ivf_assignment_has_no_window(spark):
+    """r3's ivf_topk ranked (vector, centroid) pairs with a row_number
+    window — an n x n_centroids exchange carrying every full embedding
+    16x.  The r4 form scores a broadcast centroid ARRAY per row (narrow
+    array_sort), so the only Window left in the whole plan is the final
+    per-query top-k re-rank."""
+    import re
+    from vlm_ocr_doc_reader_spark.datapipe.similarity import ivf_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(ivf_topk(emb, n_centroids=4, n_probe=2, k=2))
+    windows = re.findall(r"\(\d+\) Window\b", p)  # not WindowGroupLimit
+    assert len(windows) == 1, f"expected 1 Window (top-k), got {len(windows)}"
+    # and the centroid pick must not range-exchange the corpus: the ordered
+    # limit runs payload-free as TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tfidf_dfreq_broadcasts(spark):
+    """The document-frequency join key (token) is power-law skewed; the
+    vocabulary-sized dfreq side must broadcast so the tf side never
+    shuffles stopword keys."""
+    from vlm_ocr_doc_reader_spark.datapipe.terms import tfidf_top_terms
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(tfidf_top_terms(docs, k=2))
+    assert "BroadcastHashJoin" in p
+
+
 def test_vote_partial_aggregation(spark):
     """The vote agg must use hash aggregation (map-side partials)."""
     from vlm_ocr_doc_reader_spark.operators.vote import majority_vote

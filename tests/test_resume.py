@@ -195,7 +195,7 @@ def test_legacy_flat_output_upgraded_in_place(spark, corpus_path, tmp_path):
     # the OLD partitioned layout is refused with a migration message
     part_dir = str(tmp_path / "old_layout")
     out2.write.mode("append").partitionBy("run_id").parquet(part_dir)
-    with pytest.raises(SystemExit):
+    with pytest.raises(ValueError):
         check_output_layout(part_dir)
 
 

@@ -106,3 +106,31 @@ def test_curate_corpus_policies(spark):
     assert set(out) == {1, 6}
     assert all(r["pred_lang"] == "en" for r in out.values())
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
+
+
+def test_curate_corpus_cache_released(spark):
+    """curate_corpus persists its deduped intermediate; release_intermediate
+    must actually unpersist it (no cache accumulating across calls), and the
+    persist_intermediate=False path must attach no handle and still be
+    correct."""
+    from pyspark import StorageLevel
+
+    from vlm_ocr_doc_reader_spark.datapipe.curate import (
+        curate_corpus, release_intermediate)
+    df = spark.createDataFrame(
+        [(i, "the data and the model of the pipeline runs well and the "
+             f"results are good and the work continues number {i}.")
+         for i in range(8)], "doc_id long, text string")
+    out = curate_corpus(df, min_quality=0.2, jaccard_threshold=0.99)
+    n = out.count()
+    handle = out._curation_intermediate
+    assert handle.storageLevel != StorageLevel.NONE
+    release_intermediate(out)
+    assert handle.storageLevel == StorageLevel.NONE
+    release_intermediate(out)  # idempotent
+
+    plain = curate_corpus(df, min_quality=0.2, jaccard_threshold=0.99,
+                          persist_intermediate=False)
+    assert not hasattr(plain, "_curation_intermediate")
+    assert plain.count() == n
+    release_intermediate(plain)  # no-op, no raise

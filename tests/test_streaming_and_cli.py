@@ -56,6 +56,32 @@ def test_incremental_stream_equals_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_incremental_refuses_legacy_partitioned_output(spark, tmp_path):
+    """The stream must refuse a run_id=-partitioned output dir BEFORE any
+    micro-batch appends a flat file into it (the CLI guard, applied to the
+    incremental path too) — and leave the directory untouched."""
+    import os
+
+    import pytest
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    write_documents_parquet(generate_documents(5, seed=7, mega_spans=50,
+                                               include_edge=False),
+                            f"{in_dir}/a.parquet")
+    # legacy layout: partitionBy('run_id')
+    import pyspark.sql.functions as F
+    extract(spark.read.parquet(in_dir)) \
+        .withColumn("run_id", F.lit("r0")) \
+        .write.partitionBy("run_id").parquet(out_dir)
+    before = sorted(os.listdir(out_dir))
+    with pytest.raises(ValueError, match="legacy"):
+        run_incremental(spark, in_dir, out_dir,
+                        str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    assert sorted(os.listdir(out_dir)) == before  # nothing appended
+
+
 def test_streaming_kill_then_resume(spark, tmp_path):
     """Chaos: SIGKILL a live run_incremental subprocess mid-stream, then
     re-run — the checkpoint may replay the batch and orphan outputs may

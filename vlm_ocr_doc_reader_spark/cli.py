@@ -68,7 +68,10 @@ def _run_extract(spark: SparkSession, args) -> None:
     from pyspark.sql import functions as F
 
     from .state.manifest import check_output_layout, new_run_id
-    check_output_layout(args.output)
+    try:
+        check_output_layout(args.output)
+    except ValueError as e:  # library raises; the CLI owns process exit
+        raise SystemExit(str(e))
     docs = spark.read.parquet(args.input)
     if args.state:
         docs = pending_docs(docs, spark, args.state, "extract")

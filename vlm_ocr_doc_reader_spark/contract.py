@@ -27,7 +27,12 @@ from .operators.vote import majority_vote, normalize_for_vote_col
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # small single-row-group gate files plan as ONE split — lift them to
+    # cluster parallelism so narrow compute stages aren't single-threaded
+    # (no-op whenever the input already has enough splits)
+    from .sources.readers import ensure_min_partitions
+    return ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -1982,6 +1987,59 @@ FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 """
 
 
+def q_dup_components(spark, sf_dir):
+    """Transitive near-dup clustering: LSH -> exact Jaccard pairs ->
+    connected components (min-label propagation).  The principled survivor
+    policy (one keeper per component) next to curation's documented greedy
+    rule; the oracle computes the same closure with a recursive CTE."""
+    from .datapipe.dedup import duplicate_clusters
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return duplicate_clusters(d, threshold=0.3, n_hashes=8,
+                              rows_per_band=2, k=3)
+
+
+def _oracle_dup_components(threshold: float = 0.3) -> str:
+    """Recursive-CTE twin of connected_components over the dedup_pipeline
+    pair graph: reach(id, r) = ids reachable from id; component = min."""
+    return f"""
+WITH RECURSIVE toks AS ({_DUCK_SHINGLES3.format(lim=200)}), sig AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY id, seed
+), bands AS (
+  SELECT id, CAST(floor(seed / 2) AS INTEGER) AS band_idx,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+             ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_hash
+  FROM sig GROUP BY id, floor(seed / 2)
+), sized AS (
+  SELECT band_idx, band_hash FROM bands GROUP BY band_idx, band_hash
+  HAVING count(*) > 1 AND count(*) <= 1000
+), b AS (SELECT bands.* FROM bands JOIN sized USING (band_idx, band_hash)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c USING (band_idx, band_hash) WHERE a.id < c.id
+), sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+  FROM cand JOIN toks t1 ON t1.id = cand.id_a
+            JOIN toks t2 ON t2.id = cand.id_b AND t2.shingle = t1.shingle
+  GROUP BY cand.id_a, cand.id_b
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: documents' text bytes as fake payloads."""
     from .datapipe.multimodal import extract_media_features
@@ -2055,28 +2113,39 @@ FROM kept
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordering note: the driver's CORRECTNESS snapshot samples the FIRST 50
+# entries of this dict.  The 15 entries that had never (or only in r02)
+# received an official driver row lead the dict as of round 4; fifteen
+# trivially-green contract queries (3 rounds of green driver history)
+# rotate to the tail.  All 65 remain oracled and are exercised by
+# tools/check_contract.py regardless of position.
 QUERIES = {
+    # --- rotated to the front in r4: driver-unchecked through r03 ---
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "range_join_left": q_range_join_left,
+    "event_percentiles": q_event_percentiles,
+    "event_pivot": q_event_pivot,
+    "time_rollup": q_time_rollup,
+    "rollup_cube": q_rollup_cube,
+    "ivf_topk": q_ivf_topk,
+    "near_dup_lsh": q_near_dup_lsh,
+    "dedup_pipeline": q_dedup_pipeline,
+    "dup_components": q_dup_components,
+    "doc_structure": q_doc_structure,
+    "full_description": q_full_description,
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
+    "sessionize": q_sessionize,
+    # --- core surface ---
     "extract_text": q_extract_text,
     "pricing_summary": q_pricing_summary,
     "top_order_per_cust": q_top_order_per_cust,
     "dim_join_rollup": q_dim_join_rollup,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
     "upsert_merge": q_upsert_merge,
     "apply_results": q_apply_results,
     "chunking": q_chunking,
     "vote": q_vote,
-    "entity_id": q_entity_id,
-    "normalize_vote": q_normalize_vote,
-    "digit_norm": q_digit_norm,
-    "ordered_concat": q_ordered_concat,
-    "union_dedupe": q_union_dedupe,
-    "status_counts": q_status_counts,
-    "distinct_users": q_distinct_users,
-    "count_if": q_count_if,
-    "first_per_key": q_first_per_key,
-    "json_extract": q_json_extract,
-    "page_normalize": q_page_normalize,
     "dedup_exact": q_dedup_exact,
     "jaccard": q_jaccard,
     "minhash_sig": q_minhash_sig,
@@ -2094,10 +2163,8 @@ QUERIES = {
     "split_assign": q_split_assign,
     "curation": q_curation,
     "consistency": q_consistency,
-    "fence_strip": q_fence_strip,
     "extract_flat": q_extract_flat,
     "header_parse": q_header_parse,
-    "sanitize": q_sanitize,
     "windowed_counts": q_windowed_counts,
     "extract_pipeline": q_extract_pipeline,
     "simhash": q_simhash,
@@ -2106,21 +2173,22 @@ QUERIES = {
     "media_features": q_media_features,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_multiband": q_lsh_topk_multiband,
-    "ivf_topk": q_ivf_topk,
-    "near_dup_lsh": q_near_dup_lsh,
-    "dedup_pipeline": q_dedup_pipeline,
-    "doc_structure": q_doc_structure,
-    "full_description": q_full_description,
-    "pii_redact": q_pii_redact,
-    "repetition": q_repetition,
-    "sessionize": q_sessionize,
-    "asof_join": q_asof_join,
-    "event_percentiles": q_event_percentiles,
-    "event_pivot": q_event_pivot,
-    "range_join": q_range_join,
-    "range_join_left": q_range_join_left,
-    "time_rollup": q_time_rollup,
-    "rollup_cube": q_rollup_cube,
+    # --- rotated to the tail in r4: 3 rounds of green driver history ---
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "entity_id": q_entity_id,
+    "normalize_vote": q_normalize_vote,
+    "digit_norm": q_digit_norm,
+    "ordered_concat": q_ordered_concat,
+    "union_dedupe": q_union_dedupe,
+    "status_counts": q_status_counts,
+    "distinct_users": q_distinct_users,
+    "count_if": q_count_if,
+    "first_per_key": q_first_per_key,
+    "json_extract": q_json_extract,
+    "page_normalize": q_page_normalize,
+    "fence_strip": q_fence_strip,
+    "sanitize": q_sanitize,
 }
 
 ORACLES = {
@@ -2177,6 +2245,7 @@ ORACLES = {
     "ivf_topk": _oracle_ivf_topk(),
     "near_dup_lsh": _oracle_near_dup_lsh(),
     "dedup_pipeline": _oracle_dedup_pipeline(),
+    "dup_components": _oracle_dup_components(),
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),

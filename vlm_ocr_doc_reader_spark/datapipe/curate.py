@@ -40,13 +40,28 @@ def curate_corpus(docs: DataFrame,
                   k_shingle: int = 3,
                   split_weights: dict | None = None,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  persist_intermediate: bool = True) -> DataFrame:
     """documents -> curated (id, pred_lang, quality_score, split).
 
     One row per SURVIVING document; every drop is one of the four
     documented policies (quality floor, language allowlist, exact-dup
-    non-canonical, near-dup greater-id)."""
+    non-canonical, near-dup greater-id).
+
+    Cache lifetime: with ``persist_intermediate`` the deduped frame is
+    persisted (three downstream consumers) and the handle is attached to
+    the returned DataFrame; call :func:`release_intermediate` on the result
+    once it has been materialized/written to free the cached partitions —
+    otherwise they live until the session ends.  Pass
+    ``persist_intermediate=False`` to skip caching entirely (recompute per
+    branch — correct, slower)."""
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    # compute-dense narrow chain ahead (regex quality/lang, MinHash
+    # signatures): lift small single-split inputs to cluster parallelism
+    # (no-op when the input already has enough partitions)
+    from ..sources.readers import ensure_min_partitions
+    docs = ensure_min_partitions(docs)
 
     scored = quality_features(docs, text_col=text_col) \
         .filter(F.col("quality_score") >= min_quality)
@@ -63,8 +78,9 @@ def curate_corpus(docs: DataFrame,
     # final anti-join) — without a persist Catalyst re-runs the whole
     # quality+lang+dedup chain per branch (measured 38s -> ~13s at sf0.01);
     # on a cluster the same cut is a checkpoint of the deduped frame
-    from pyspark import StorageLevel
-    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_intermediate:
+        from pyspark import StorageLevel
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     # near-dup dedup: LSH candidates -> exact Jaccard -> drop greater ids
     cand = minhash_candidate_pairs(
@@ -77,5 +93,19 @@ def curate_corpus(docs: DataFrame,
     drop_ids = similar.select(F.col("id_b").alias(id_col)).distinct()
     survivors = exact.join(drop_ids, id_col, "left_anti")
 
-    return (assign_splits(survivors, weights, id_col=id_col)
-            .select(id_col, "pred_lang", "quality_score", "split"))
+    out = (assign_splits(survivors, weights, id_col=id_col)
+           .select(id_col, "pred_lang", "quality_score", "split"))
+    if persist_intermediate:
+        out._curation_intermediate = exact
+    return out
+
+
+def release_intermediate(curated: DataFrame) -> None:
+    """Unpersist the cached intermediate a :func:`curate_corpus` result
+    carries.  Call AFTER the result is materialized (collected/written):
+    unpersisting earlier is still correct — Spark recomputes — but forfeits
+    the cache the pipeline paid for.  No-op for results built with
+    ``persist_intermediate=False``."""
+    handle = getattr(curated, "_curation_intermediate", None)
+    if handle is not None:
+        handle.unpersist()

@@ -163,11 +163,23 @@ def minhash_band_buckets(df: DataFrame, n_hashes: int = 16,
 
 
 def minhash_candidate_pairs(bands: DataFrame,
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            persist_intermediate: bool = True) -> DataFrame:
     """Docs sharing any LSH band bucket -> candidate near-dup pairs (id_a <
     id_b).  Buckets larger than ``max_bucket`` are dropped (degenerate-text
     guard: at web scale a single junk bucket would otherwise emit
-    O(n^2) pairs)."""
+    O(n^2) pairs).
+
+    ``persist_intermediate``: the band frame feeds THREE consumers (the
+    bucket-size aggregate and both sides of the pair join) — without a cut
+    Catalyst inlines the whole upstream signature computation per consumer,
+    tripling the most expensive narrow scan of the pipeline (this was the
+    bulk of the r3 curation first-run outlier).  The persisted frame is
+    only (id, band_idx, band_hash); on a cluster the same cut is a
+    checkpoint."""
+    if persist_intermediate:
+        from pyspark import StorageLevel
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     sized = (bands.groupBy("band_idx", "band_hash")
              .agg(F.count("*").alias("sz"))
              .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
@@ -178,6 +190,86 @@ def minhash_candidate_pairs(bands: DataFrame,
     return (a.join(c, ["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         nodes: DataFrame | None = None) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id_a, id_b) edges -> (id, component) where ``component`` is the
+    smallest id reachable from ``id``.  This is the transitive-closure
+    survivor policy: keep one doc per component (the min id), instead of
+    the greedy "drop any id_b" rule that over-drops chains (see
+    ``curate.curate_corpus``'s policy note).
+
+    Algorithm: min-label propagation — every node starts labeled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; converged when no label changes.  Rounds needed =
+    graph diameter (near-dup clusters are small and dense, so typically
+    2-4).  Each round is one shuffle join + one aggregate; the label frame
+    is localCheckpoint'ed per round to cut the growing lineage (iterative
+    plans otherwise re-execute from the source every round).  The per-round
+    convergence test is ONE driver-side count — the canonical coordination
+    pattern for iterative graph algorithms (GraphX/Pregel do the same);
+    nothing row-sized ever reaches the driver.  At web scale the same loop
+    runs with a DFS checkpoint instead of localCheckpoint, and the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") bounds rounds to O(log^2 n) on adversarial
+    diameters — near-dup graphs never need it.
+
+    ``nodes``: optional (id) frame; ids not in any pair then appear as
+    their own singleton component (default: nodes = ids seen in pairs).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct())
+    edges = edges.persist()
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        # neighbor messages: each edge ships its dst's current label to src
+        msgs = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"), "component"))
+        new_labels = (labels.union(msgs)
+                      .groupBy("id")
+                      .agg(F.min("component").alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        # convergence: any node whose label shrank this round?
+        changed = (labels.withColumnRenamed("component", "old")
+                   .join(new_labels, "id")
+                   .filter(F.col("component") < F.col("old"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(df: DataFrame, threshold: float = 0.8,
+                       n_hashes: int = 8, rows_per_band: int = 2,
+                       k: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """End-to-end transitive near-dup clustering: MinHash-LSH proposes
+    candidate pairs, exact Jaccard >= ``threshold`` disposes, connected
+    components merge the surviving pairs into clusters.  Output:
+    (id, component) for every doc that belongs to a multi-doc cluster,
+    component = min doc id of the cluster — the set to deduplicate against
+    (keep each component's min id, drop the rest)."""
+    cand = minhash_candidate_pairs(
+        minhash_band_buckets(df, n_hashes=n_hashes,
+                             rows_per_band=rows_per_band, k=k,
+                             id_col=id_col, text_col=text_col))
+    similar = (jaccard_pairs(df, candidates=cand, k=k, id_col=id_col,
+                             text_col=text_col)
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b"))
+    return connected_components(similar)
 
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,

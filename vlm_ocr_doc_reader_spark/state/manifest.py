@@ -163,13 +163,16 @@ def check_output_layout(output_dir: str) -> None:
     the old ``partitionBy('run_id')`` layout: Spark's partition discovery
     rejects the mixed structure, so an in-place upgrade would corrupt the
     directory.  Clear migration message instead (read the old dir, rewrite
-    flat with run_id as a column, or start a fresh output dir)."""
+    flat with run_id as a column, or start a fresh output dir).
+
+    Raises ``ValueError`` (catchable by programmatic callers — notebooks,
+    the incremental runner); the CLI translates it to an exit code."""
     try:
         entries = os.listdir(output_dir)
     except FileNotFoundError:
         return
     if any(e.startswith("run_id=") for e in entries):
-        raise SystemExit(
+        raise ValueError(
             f"output dir {output_dir!r} uses the legacy run_id= partitioned "
             "layout; appending flat files would break partition discovery. "
             "Migrate once (read the dir, write elsewhere without "

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.extract import extract
-from ..state.manifest import commit_phase, pending_docs
+from ..state.manifest import check_output_layout, commit_phase, pending_docs
 
 DOCS_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
                "media_ref:string,offset:int>>")
@@ -27,10 +27,23 @@ DOCS_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
 
 def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
                     state_dir: str, checkpoint_dir: str,
-                    available_now: bool = True):
+                    available_now: bool = True,
+                    fused_max_spans: int | None = 100_000):
     """Stream documents from ``input_dir`` through extraction into
     ``output_dir`` with manifest commits per micro-batch.  Returns the
-    streaming query (already awaited when ``available_now``)."""
+    streaming query (already awaited when ``available_now``).
+
+    Raises ``ValueError`` before the stream starts if ``output_dir`` uses
+    the legacy ``run_id=`` partitioned layout — the same guard as the CLI
+    extract path, applied up front so no micro-batch ever appends a flat
+    file into a directory partition discovery would then reject.
+
+    ``fused_max_spans``: forwarded to :func:`extract`.  The default keeps
+    the mega-doc safety routing, which costs one extra JVM-only probe scan
+    of each micro-batch; pass ``None`` when the landing data is
+    pre-validated (size-bounded upstream) to keep each batch a single pure
+    Arrow map."""
+    check_output_layout(output_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -44,7 +57,8 @@ def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
         run_id = new_run_id()
         # run_id as a normal column (one flat layout shared with legacy
         # outputs — see cli._run_extract)
-        out = extract(todo).withColumn("run_id", F.lit(run_id))
+        out = extract(todo, fused_max_spans=fused_max_spans) \
+            .withColumn("run_id", F.lit(run_id))
         out.write.mode("append").parquet(output_dir)
         committed = (spark.read.option("mergeSchema", "true")
                      .parquet(output_dir)
