@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "extract_text", "pricing_summary", "top_order_per_cust",
     "dim_join_rollup", "upsert_merge", "chunking", "vote", "dedup_exact",
     "minhash_pairs", "cosine_topk", "quality", "lang_id", "fingerprint",
-    "dedup_pipeline", "lsh_topk", "lsh_topk_multiband", "full_description",
+    "dedup_pipeline", "dup_components", "lsh_topk", "lsh_topk_multiband",
+    "full_description",
     "levels_verify", "levels_verify_chunked", "sessionize", "asof_join",
     "range_join", "range_join_left", "time_rollup", "pii_redact",
     "repetition", "heavy_hitters", "tfidf", "det_sample", "split_assign",
@@ -116,7 +117,10 @@ def run_extraction(master: str, path: str,
         spark.stop()
 
 
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+# 4 rounds (was 3): host steal on this VM can inflate a whole round ~1.5x;
+# with min-per-level over interleaved rounds, one extra round materially
+# cuts the odds that EVERY sample of some level lands in a slow phase
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 
 
 def run_scaling_interleaved(masters: list[str], path: str,
@@ -319,11 +323,14 @@ def _write_bench_md(r: dict) -> None:
         f"extraction pipeline (classify + XY-cut + media reconciliation + "
         f"ordered assembly; default zero-shuffle fused strategy — rows are "
         f"whole documents, so extraction is a pure Arrow map), noop sink.\n",
-        "| parallelism | wall sec (min) | docs/sec | per-round times |",
-        "|---|---|---|---|",
+        "| parallelism | wall sec (min) | docs/sec | sec (median) | "
+        "docs/sec (median) | per-round times |",
+        "|---|---|---|---|---|---|",
     ]
     for k in keys:
         lines.append(f"| {k} | {s[k]['sec']} | {s[k]['docs_per_sec']} | "
+                     f"{s[k].get('sec_median', '—')} | "
+                     f"{s[k].get('docs_per_sec_median', '—')} | "
                      f"{s[k].get('times', '—')} |")
     hi_full = [k for k in s if k.startswith("efficiency_")]
     hi_full_line = ""
@@ -373,9 +380,13 @@ def _write_bench_md(r: dict) -> None:
                   "derives its N vote samples from ONE corpus scan (the "
                   "axis fan-out is a literal explode over a persisted "
                   "pass), so wall time is ~flat in the axis count."]
+    med = r.get("docs_per_sec_median")
     lines += ["", f"Headline: **{r['value']} docs/sec** end-to-end "
               f"extraction at {r.get('headline_level', f'local[{CPUS}]')} "
-              f"(best measured level; see saturation note above).", ""]
+              f"(best measured level, min over rounds; see saturation note "
+              f"above)"
+              + (f"; median-of-rounds at the same level: "
+                 f"**{med} docs/sec**." if med else "."), ""]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as f:
         f.write("\n".join(lines))

@@ -108,6 +108,30 @@ def test_curate_corpus_policies(spark):
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
 
 
+def test_curate_corpus_component_policy_keeps_chain_representative(spark):
+    """greedy drops every doc similar to a smaller id (chain a-b-c loses b
+    and c); component keeps exactly one doc per transitive cluster — same
+    outcome here (min id survives), but asserted through the component
+    path, plus the unknown-policy guard."""
+    import pytest
+
+    from vlm_ocr_doc_reader_spark.datapipe.curate import curate_corpus
+    base = ("the data and the model of the pipeline runs well and the "
+            "results are good and the work continues for the team today")
+    rows = [(1, base + "."),
+            (2, base + " extra."),
+            (3, base + " extra tail."),
+            (9, "the unique and different of content about spark engines "
+                "and the rows and the tables and the shuffles everywhere.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"] for r in curate_corpus(
+        df, min_quality=0.3, jaccard_threshold=0.5,
+        survivor_policy="component").collect()}
+    assert out == {1, 9}
+    with pytest.raises(ValueError, match="survivor_policy"):
+        curate_corpus(df, survivor_policy="nope")
+
+
 def test_curate_corpus_cache_released(spark):
     """curate_corpus persists its deduped intermediate; release_intermediate
     must actually unpersist it (no cache accumulating across calls), and the

@@ -42,6 +42,24 @@ def test_json_and_orc_sources_roundtrip(spark, tmp_path):
         assert got == want, reader.__name__
 
 
+def test_ensure_min_partitions_lifts_small_inputs_only(spark, tmp_path):
+    """A single-row-group parquet file plans as ONE split, serializing
+    every narrow stage; ensure_min_partitions lifts it to the requested
+    parallelism, is a NO-OP on an input that already has enough partitions
+    (no repartition shuffle at real scale), and never changes rows."""
+    from vlm_ocr_doc_reader_spark.sources.readers import ensure_min_partitions
+    p = str(tmp_path / "small.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    small = spark.read.parquet(p)
+    assert small.rdd.getNumPartitions() == 1
+    lifted = ensure_min_partitions(small, 8)
+    assert lifted.rdd.getNumPartitions() == 8
+    assert sorted(r["id"] for r in lifted.collect()) == list(range(100))
+    # already-parallel input: same object back, plan untouched
+    wide = spark.range(100).repartition(16)
+    assert ensure_min_partitions(wide, 8) is wide
+
+
 def test_quarantine_unknown_kinds(spark):
     rows = [("d1", [("text", "Good sentence here today.", None, 0),
                     ("blob", "???", None, 1),

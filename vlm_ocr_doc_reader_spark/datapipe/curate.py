@@ -41,12 +41,22 @@ def curate_corpus(docs: DataFrame,
                   split_weights: dict | None = None,
                   id_col: str = "doc_id",
                   text_col: str = "text",
-                  persist_intermediate: bool = True) -> DataFrame:
+                  persist_intermediate: bool = True,
+                  survivor_policy: str = "greedy") -> DataFrame:
     """documents -> curated (id, pred_lang, quality_score, split).
 
     One row per SURVIVING document; every drop is one of the four
     documented policies (quality floor, language allowlist, exact-dup
     non-canonical, near-dup greater-id).
+
+    ``survivor_policy``: ``'greedy'`` (default, the gate-oracled rule)
+    drops any doc similar to a smaller-id doc — one-pass, SQL-expressible,
+    but over-drops chains (a-b-c similar pairwise in a chain loses b AND c
+    even though c is not similar to a).  ``'component'`` runs connected
+    components over the similar-pair graph and keeps exactly one doc (the
+    min id) per transitive cluster — the principled policy, costing the
+    O(diameter) label-propagation rounds of ``dedup.connected_components``
+    (near-dup clusters are shallow, so 2-4 rounds).
 
     Cache lifetime: with ``persist_intermediate`` the deduped frame is
     persisted (three downstream consumers) and the handle is attached to
@@ -90,7 +100,17 @@ def curate_corpus(docs: DataFrame,
     similar = (jaccard_pairs(exact, candidates=cand, k=k_shingle,
                              id_col=id_col, text_col=text_col)
                .filter(F.col("jaccard") >= jaccard_threshold))
-    drop_ids = similar.select(F.col("id_b").alias(id_col)).distinct()
+    if survivor_policy == "greedy":
+        drop_ids = similar.select(F.col("id_b").alias(id_col)).distinct()
+    elif survivor_policy == "component":
+        from .dedup import connected_components
+        comps = connected_components(similar.select("id_a", "id_b"))
+        drop_ids = (comps.filter(F.col("id") != F.col("component"))
+                    .select(F.col("id").alias(id_col)))
+    else:
+        raise ValueError(
+            f"curate_corpus: unknown survivor_policy {survivor_policy!r} "
+            "(expected 'greedy' or 'component')")
     survivors = exact.join(drop_ids, id_col, "left_anti")
 
     out = (assign_splits(survivors, weights, id_col=id_col)
