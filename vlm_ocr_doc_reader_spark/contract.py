@@ -2040,6 +2040,114 @@ SELECT id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event_type (distinct users): the
+    shuffle-light cardinality estimator — the sketch is exact arithmetic,
+    so the ORACLE checks the estimates bit-for-bit, and the small-group
+    exact path (n_exact < k) is exercised alongside the estimator path."""
+    from .datapipe.sketches import kmv_estimate, kmv_sketch
+    ev = load(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", k=64, group_cols=["event_type"])
+    return kmv_estimate(sk, k=64)
+
+
+ORACLE_KMV = """
+WITH u AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+           / 4503599627370496.0 AS u
+  FROM events
+), km AS (
+  SELECT event_type,
+         list_slice(list_sort(list(DISTINCT u)), 1, 64) AS kmins
+  FROM u GROUP BY event_type
+)
+SELECT event_type,
+       round(CASE WHEN len(kmins) < 64 THEN CAST(len(kmins) AS DOUBLE)
+             ELSE 63.0 / kmins[64] END, 6) AS distinct_est
+FROM km
+"""
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-Min frequency estimates for a fixed probe set of users over
+    the events stream: build is one (depth x width)-bounded aggregate,
+    query joins the broadcast counter table; overcounts only."""
+    from .datapipe.sketches import cms_build, cms_query
+    ev = load(spark, sf_dir, "events")
+    sk = cms_build(ev, "user_id", depth=4, width=256)
+    probes = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+    return cms_query(sk, probes, "user_id", depth=4, width=256) \
+        .select(F.col("item").alias("user_id"), "est_count")
+
+
+ORACLE_CMS = """
+WITH h AS (
+  SELECT user_id, d,
+         CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                   CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+              % 256 AS INTEGER) AS bucket
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS d) ds
+), sketch AS (
+  SELECT d, bucket, count(*) AS cnt FROM h GROUP BY d, bucket
+), probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < 20
+), ph AS (
+  SELECT p.user_id, ds.d,
+         CAST(CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' ||
+                   CAST(p.user_id AS VARCHAR)), 1, 13) AS BIGINT)
+              % 256 AS INTEGER) AS bucket
+  FROM probes p, (SELECT unnest(generate_series(0, 3)) AS d) ds
+)
+SELECT ph.user_id, min(coalesce(s.cnt, 0)) AS est_count
+FROM ph LEFT JOIN sketch s USING (d, bucket)
+GROUP BY ph.user_id
+"""
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Fixed-grid histogram p50/p95 of event value per type — the
+    unbounded-group-safe quantile (bin counts shuffle, rows don't); exact
+    oracle because the grid arithmetic is deterministic."""
+    from .datapipe.sketches import histogram_quantiles
+    ev = load(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", [0.5, 0.95], n_bins=128,
+                               group_cols=["event_type"])
+
+
+ORACLE_HIST_Q = """
+WITH bounds AS (
+  SELECT event_type, min(CAST(value AS DOUBLE)) AS lo,
+         max(CAST(value AS DOUBLE)) AS hi
+  FROM events GROUP BY event_type
+), binned AS (
+  SELECT e.event_type, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE least(127, CAST(floor((CAST(e.value AS DOUBLE) - b.lo)
+                                         / (b.hi - b.lo) * 128) AS INTEGER))
+         END AS bin
+  FROM events e JOIN bounds b USING (event_type)
+), hist AS (
+  SELECT event_type, lo, hi, bin, count(*) AS cnt
+  FROM binned GROUP BY event_type, lo, hi, bin
+), cum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM hist
+), q AS (SELECT unnest([0.5, 0.95]) AS q), pick AS (
+  SELECT cum.*, q.q, q.q * total AS target,
+         row_number() OVER (PARTITION BY event_type, q.q ORDER BY bin) AS rn
+  FROM cum JOIN q ON cum.c >= q.q * cum.total
+)
+SELECT event_type, q,
+       round(CASE WHEN hi = lo THEN lo
+             ELSE lo + (bin + greatest(0.0, least(1.0,
+                  (target - (c - cnt)) / cnt))) * ((hi - lo) / 128)
+             END, 6) AS value
+FROM pick WHERE rn = 1
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: documents' text bytes as fake payloads."""
     from .datapipe.multimodal import extract_media_features
@@ -2132,6 +2240,9 @@ QUERIES = {
     "near_dup_lsh": q_near_dup_lsh,
     "dedup_pipeline": q_dedup_pipeline,
     "dup_components": q_dup_components,
+    "kmv_distinct": q_kmv_distinct,
+    "cms_counts": q_cms_counts,
+    "hist_quantiles": q_hist_quantiles,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2246,6 +2357,9 @@ ORACLES = {
     "near_dup_lsh": _oracle_near_dup_lsh(),
     "dedup_pipeline": _oracle_dedup_pipeline(),
     "dup_components": _oracle_dup_components(),
+    "kmv_distinct": ORACLE_KMV,
+    "cms_counts": ORACLE_CMS,
+    "hist_quantiles": ORACLE_HIST_Q,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),

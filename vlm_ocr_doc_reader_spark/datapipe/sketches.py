@@ -1,0 +1,200 @@
+"""Deterministic sketches: the 100-TB answer to "how many / how often /
+what quantile" when exact answers would shuffle the corpus.
+
+Three sketch families, all built from md5-keyed arithmetic so every one is
+engine-independent and has an EXACT DuckDB oracle (the gate checks the
+sketch VALUES, not just a tolerance):
+
+  * KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+    normalized hashes per group; estimate = (k-1) / kth_min.  Mergeable by
+    construction (union -> re-min), so it shards: stage 1 computes partial
+    k-mins per (group, shard), stage 2 merges B small sorted arrays per
+    group.  The shuffle carries k values per (group, shard) instead of
+    every distinct member — the whole point at corpus scale.
+  * Count-Min sketch: a (depth x width) counter table, bucket =
+    md5(seed:token) mod width.  Build is one hash aggregate over
+    (depth, bucket) — map-side combinable; estimates are min over depth of
+    the joined counters (classic overestimate-only guarantee).
+  * Fixed-grid histogram quantiles: bin counts on a [min, max] grid + one
+    tiny cumulative window over n_bins rows, linear interpolation inside
+    the covering bin.  The at-scale alternative to exact
+    ``percentile`` (which sorts every group in the aggregation buffer).
+
+Unlike HLL/t-digest (whose estimators depend on engine internals and
+cannot be oracled exactly), these sketches trade a little accuracy theory
+for full determinism — which also makes their accuracy TESTABLE against
+exact answers (see tests/test_sketches.py error-bound assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 13 hex chars = 52 bits: exactly representable in a double, so the
+# normalized hash u = int(hex13, 16) / 16^13 is bit-identical across
+# engines (a 16-char prefix would round in the double conversion)
+_HEX_CHARS = 13
+_HEX_DENOM = float(16 ** _HEX_CHARS)
+
+
+def _u01(col):
+    """md5-keyed U[0,1) draw from a column value — deterministic and
+    portable (same construction as sampling.py's threshold draw)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, _HEX_CHARS),
+                   16, 10).cast("double") / F.lit(_HEX_DENOM))
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64,
+               group_cols: list[str] | None = None,
+               n_shards: int = 16) -> DataFrame:
+    """Build the KMV sketch: (group..., kmins array<double>, n_exact).
+
+    Two-stage shard-and-merge: stage 1 aggregates the k smallest hashes
+    within each (group, shard = hash-bucket of the value); stage 2 merges
+    the <= n_shards * k survivors per group.  No stage ever holds more
+    than (distinct / n_shards) values in an aggregation buffer, and the
+    group shuffle ships at most n_shards * k doubles per group — the
+    sketch property that makes distinct-counting shuffle-light at 100 TB.
+
+    ``n_exact`` counts the sketch's stored values (= exact distinct count
+    whenever it is < k, where the estimator is not applicable)."""
+    groups = group_cols or []
+    u = _u01(F.col(col))
+    shard = (F.conv(F.substring(F.md5(F.col(col).cast("string")), 15, 4),
+                    16, 10).cast("int") % n_shards)
+    partial = (df
+               .select(*groups, u.alias("_u"), shard.alias("_shard"))
+               .groupBy(*groups, "_shard")
+               .agg(F.slice(F.array_sort(F.collect_set("_u")), 1, k)
+                     .alias("_part")))
+    merged = (partial
+              .groupBy(*groups)
+              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_part"))),
+                           1, k).alias("kmins")))
+    return merged.select(*groups, "kmins",
+                         F.size("kmins").alias("n_exact"))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(group..., distinct_est double) from a ``kmv_sketch`` frame.
+
+    Fewer than k stored values means the sketch SAW every distinct value:
+    the count is exact.  Otherwise the classic unbiased KMV estimator
+    (k-1)/u_(k) applies."""
+    est = F.when(
+        F.col("n_exact") < k, F.col("n_exact").cast("double")
+    ).otherwise((F.lit(float(k - 1))
+                 / F.element_at("kmins", k)).cast("double"))
+    keep = [c for c in sketch.columns if c not in ("kmins", "n_exact")]
+    return sketch.select(*keep, F.round(est, 6).alias("distinct_est"))
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-Min sketch table: (d, bucket, cnt), one row per non-empty
+    counter.  bucket_d(x) = first-13-hex of md5(d || ':' || x) mod width.
+
+    One explode (narrow, depth rows per input row) + one hash aggregate on
+    (d, bucket) — at most depth*width groups regardless of corpus size, so
+    the shuffle is O(depth * width) after map-side combine.  Counters only
+    ever OVER-estimate (collisions add)."""
+    h = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda d: F.struct(
+            d.cast("int").alias("d"),
+            (F.conv(F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit(":"),
+                               F.col(col).cast("string"))),
+                1, _HEX_CHARS), 16, 10).cast("long") % width)
+            .cast("int").alias("bucket")))
+    return (df.select(F.explode(h).alias("_h"))
+            .select("_h.d", "_h.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_query(sketch: DataFrame, items: DataFrame, col: str,
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """Estimate each item's frequency: (item, est_count).
+
+    est = min over d of counter[d][bucket_d(item)] (missing counter = 0).
+    The sketch is depth*width rows — broadcast it; the items side never
+    shuffles."""
+    h = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda d: F.struct(
+            d.cast("int").alias("d"),
+            (F.conv(F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit(":"),
+                               F.col(col).cast("string"))),
+                1, _HEX_CHARS), 16, 10).cast("long") % width)
+            .cast("int").alias("bucket")))
+    probes = (items.select(F.col(col).alias("item"), F.explode(h).alias("_h"))
+              .select("item", "_h.d", "_h.bucket"))
+    return (probes
+            .join(F.broadcast(sketch), ["d", "bucket"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                  .alias("est_count")))
+
+
+def histogram_quantiles(df: DataFrame, col: str, qs: list[float],
+                        n_bins: int = 128,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """Approximate quantiles from a fixed-grid histogram:
+    (group..., q double, value double).
+
+    Plan shape: one min/max aggregate (broadcast — one row per group), one
+    histogram aggregate on (group, bin) — at most n_bins groups per key,
+    map-side combinable — then a cumulative window over n_bins tiny rows
+    and linear interpolation inside the covering bin.  Exact ``percentile``
+    buffers and sorts every group member; this touches each row once and
+    shuffles only bin counts — the quantile form that survives unbounded
+    group sizes.  Error is bounded by one bin width of the value range."""
+    groups = group_cols or []
+    x = F.col(col).cast("double")
+
+    bounds = df.groupBy(*groups).agg(F.min(x).alias("_lo"),
+                                     F.max(x).alias("_hi"))
+    joined = (df.join(F.broadcast(bounds), groups) if groups
+              else df.crossJoin(F.broadcast(bounds)))
+    span = F.col("_hi") - F.col("_lo")
+    bin_ = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1),
+                F.floor((x - F.col("_lo")) / span * n_bins).cast("int")))
+    hist = (joined
+            .select(*groups, "_lo", "_hi", bin_.alias("_bin"))
+            .groupBy(*groups, "_lo", "_hi", "_bin")
+            .agg(F.count("*").alias("_cnt")))
+    w = (Window.partitionBy(*groups) if groups else Window.partitionBy()) \
+        .orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist
+           .withColumn("_cum", F.sum("_cnt").over(w))
+           .withColumn("_total", F.sum("_cnt").over(
+               (Window.partitionBy(*groups) if groups
+                else Window.partitionBy())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))))
+    out = None
+    for q in qs:
+        # covering bin: first bin whose cumulative count reaches q * total;
+        # interpolate position within the bin against its own count
+        target = F.lit(float(q)) * F.col("_total")
+        prev_cum = F.col("_cum") - F.col("_cnt")
+        frac = F.when(F.col("_cnt") == 0, F.lit(0.0)).otherwise(
+            (target - prev_cum) / F.col("_cnt"))
+        frac = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
+        width_ = (F.col("_hi") - F.col("_lo")) / n_bins
+        val = F.col("_lo") + (F.col("_bin") + frac) * width_
+        picked = (cum.filter(F.col("_cum") >= target)
+                  .withColumn("_rn", F.row_number().over(
+                      (Window.partitionBy(*groups) if groups
+                       else Window.partitionBy()).orderBy("_bin")))
+                  .filter(F.col("_rn") == 1)
+                  .select(*groups, F.lit(float(q)).alias("q"),
+                          F.round(F.when(F.col("_hi") == F.col("_lo"),
+                                         F.col("_lo")).otherwise(val), 6)
+                          .alias("value")))
+        out = picked if out is None else out.unionByName(picked)
+    return out
