@@ -109,6 +109,40 @@ def test_tfidf_dfreq_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_partitioned_layout_prunes_directories_and_rowgroups(spark,
+                                                             tmp_path):
+    """write_partitioned + a partition-column filter must prune at PLANNING
+    time (PartitionFilters), and a range filter on the sort column must
+    reach the parquet reader (PushedFilters) for row-group skipping."""
+    from vlm_ocr_doc_reader_spark.sources.layout import (read_partitioned,
+                                                         write_partitioned)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "by_type")
+    write_partitioned(ev, out, ["event_type"], sort_cols=["ts"])
+    back = read_partitioned(spark, out)
+    # round trip is lossless
+    assert back.count() == ev.count()
+    q = back.filter((F.col("event_type") == "click")
+                    & (F.col("value") > 0)).select("user_id")
+    p = plan(q)
+    part_filters = p.split("PartitionFilters")[1].split("\n")[0]
+    assert "event_type" in part_filters  # pruned before reading a byte
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    assert "value" in pushed
+    # one file per partition directory: no small-file explosion
+    import glob
+    for d in glob.glob(f"{out}/event_type=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+
+def test_write_partitioned_refuses_high_cardinality(spark):
+    from vlm_ocr_doc_reader_spark.sources.layout import write_partitioned
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="max_partitions"):
+        write_partitioned(docs, "/tmp/never-written", ["doc_id"],
+                          max_partitions=50)
+
+
 def test_vote_partial_aggregation(spark):
     """The vote agg must use hash aggregation (map-side partials)."""
     from vlm_ocr_doc_reader_spark.operators.vote import majority_vote
