@@ -97,6 +97,51 @@ def test_duplicate_clusters_end_to_end(docs):
     assert got.get(1) == 1 and got.get(2) == 1
 
 
+def test_decontaminate_flags_leaked_eval_docs(spark):
+    """A test doc quoting a train 3-gram is dropped; clean docs survive
+    unchanged; a boilerplate shingle shared by MANY train docs is capped
+    out and does not flag anything."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (decontaminate,
+                                                        ngram_overlap)
+    boiler = "standard license header text"
+    train = spark.createDataFrame(
+        [(0, f"{boiler} alpha bravo charlie delta echo secret passage")]
+        + [(i, f"{boiler} unrelated train content item number {i}")
+           for i in range(1, 10)], "doc_id int, text string")
+    test = spark.createDataFrame(
+        [(100, "quoting alpha bravo charlie delta here"),  # leaked 4-gram
+         (101, "completely fresh words nothing shared at all"),
+         (102, f"{boiler} but otherwise fresh content words")],
+        "doc_id int, text string")
+    # cap of 5 drops the boiler shingles (present in 10 train docs)
+    ov = ngram_overlap(train, test, n=3, max_train_df=5)
+    flagged = {r["test_id"] for r in ov.collect()}
+    assert 100 in flagged and 101 not in flagged and 102 not in flagged
+    clean = decontaminate(train, test, n=3, max_train_df=5)
+    assert {r["doc_id"] for r in clean.collect()} == {101, 102}
+    # without the cap the boilerplate quote IS an overlap
+    ov2 = ngram_overlap(train, test, n=3, max_train_df=1000)
+    assert 102 in {r["test_id"] for r in ov2.collect()}
+
+
+def test_unigram_logprob_orders_junk_below_prose(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.terms import unigram_logprob_score
+    df = spark.createDataFrame(
+        [(1, "the data and the model and the data and the model"),
+         (2, "zxqv kjhw pqrs zxqv wvut mnbv qqqq wwww eeee rrrr")],
+        "doc_id int, text string")
+    got = {r["id"]: r["avg_logprob"]
+           for r in unigram_logprob_score(df).collect()}
+    assert got[1] > got[2]  # common vocabulary beats garbage
+
+    # external vocabulary: OOV tokens hit the smoothed floor
+    vocab = spark.createDataFrame([("the", 100), ("data", 50)],
+                                  "token string, c long")
+    ext = {r["id"]: r["avg_logprob"]
+           for r in unigram_logprob_score(df, vocab=vocab).collect()}
+    assert ext[1] > ext[2]
+
+
 def test_jaccard(docs):
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in jaccard_pairs(docs.filter("doc_id in (1,2,3)")).collect()}

@@ -743,6 +743,72 @@ _DUCK_TF = """
 """
 
 
+# 3-gram shingles with an arbitrary doc filter (decontamination oracle)
+_DUCK_SHINGLES3_WHERE = """
+  SELECT DISTINCT doc_id AS {alias},
+         array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                 'g')), ' ') AS words
+        FROM documents WHERE {where}) d,
+       LATERAL (SELECT unnest(generate_series(1,
+                CASE WHEN len(words) >= 3 THEN len(words) - 2 ELSE 1 END))
+                AS i) g
+"""
+
+
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination probe: which held-out docs share a 3-gram
+    with the train slice (n=3 here so the synthetic corpus produces hits;
+    production uses n=13).  Boilerplate-shingle cap exercised at 1000."""
+    from .datapipe.dedup import ngram_overlap
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") < 150)
+    test = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    return ngram_overlap(train, test, n=3, max_train_df=1000)
+
+
+ORACLE_DECONTAM = f"""
+WITH tr AS ({_DUCK_SHINGLES3_WHERE.format(alias='train_id',
+                                          where='doc_id < 150')}),
+te AS ({_DUCK_SHINGLES3_WHERE.format(
+    alias='test_id', where='doc_id >= 150 AND doc_id < 300')}),
+common AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(*) <= 1000),
+trc AS (SELECT tr.* FROM tr JOIN common USING (shingle))
+SELECT te.test_id, trc.train_id, count(*) AS n_shared
+FROM te JOIN trc USING (shingle)
+GROUP BY te.test_id, trc.train_id
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram LM quality proxy: per-doc mean smoothed log-prob under the
+    corpus's own unigram distribution — junk scores low, common-vocabulary
+    prose scores high; vocabulary broadcasts."""
+    from .datapipe.terms import unigram_logprob_score
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return unigram_logprob_score(d)
+
+
+ORACLE_LM_SCORE = """
+WITH tf AS (
+  SELECT id, token, count(*) AS tf FROM (
+    SELECT doc_id AS id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS token
+    FROM documents WHERE doc_id < 300) WHERE token <> ''
+  GROUP BY id, token
+), vocab AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * ln((coalesce(c, 0) + 1.0) / (n + v))) / sum(tf), 6)
+         AS avg_logprob
+FROM tf LEFT JOIN vocab USING (token) CROSS JOIN stats
+GROUP BY id
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Corpus-wide top-50 tokens: partial-agg counting + top-k via
     TakeOrderedAndProject (never a global sort)."""
@@ -2243,6 +2309,8 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
     "hist_quantiles": q_hist_quantiles,
+    "decontam_overlap": q_decontam_overlap,
+    "lm_score": q_lm_score,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2360,6 +2428,8 @@ ORACLES = {
     "kmv_distinct": ORACLE_KMV,
     "cms_counts": ORACLE_CMS,
     "hist_quantiles": ORACLE_HIST_Q,
+    "decontam_overlap": ORACLE_DECONTAM,
+    "lm_score": ORACLE_LM_SCORE,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),

@@ -336,6 +336,49 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                     .cast("double").alias("jaccard")))
 
 
+def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_train_df: int = 1000) -> DataFrame:
+    """Benchmark decontamination probe: (test_id, train_id, n_shared) for
+    every test doc sharing at least one distinct n-word shingle with a
+    train doc — the standard check that an eval set has not leaked into
+    the training corpus (n=13 is the common contamination window).
+
+    Scale shape: both sides reduce to DISTINCT (id, shingle) tables; the
+    join key is the shingle.  At n=13 a shared shingle is rare by
+    construction EXCEPT boilerplate (licenses, headers) — shingles present
+    in more than ``max_train_df`` train docs are dropped before the join
+    (the same degenerate-key cap as LSH buckets; a license paragraph must
+    not fan out test x train).  The drop is not silent: overlaps counted
+    here are a LOWER bound and callers can re-run with a higher cap."""
+    tr = shingles(train, k=n, id_col=id_col, text_col=text_col) \
+        .withColumnRenamed("id", "train_id")
+    te = shingles(test, k=n, id_col=id_col, text_col=text_col) \
+        .withColumnRenamed("id", "test_id")
+    common = (tr.groupBy("shingle")
+              .agg(F.count("*").alias("_df"))
+              .filter(F.col("_df") <= max_train_df)
+              .select("shingle"))
+    tr = tr.join(common, "shingle", "left_semi")
+    return (te.join(tr, "shingle")
+            .groupBy("test_id", "train_id")
+            .agg(F.count("*").alias("n_shared")))
+
+
+def decontaminate(train: DataFrame, test: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_shared: int = 1,
+                  max_train_df: int = 1000) -> DataFrame:
+    """Drop every test doc sharing >= ``min_shared`` n-gram shingles with
+    ANY train doc; returns the clean test rows unchanged.  One anti-join
+    against the overlap probe — test rows, not shingles, are what ship."""
+    dirty = (ngram_overlap(train, test, n=n, id_col=id_col,
+                           text_col=text_col, max_train_df=max_train_df)
+             .filter(F.col("n_shared") >= min_shared)
+             .select(F.col("test_id").alias(id_col)).distinct())
+    return test.join(dirty, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: per DISTINCT token take the first ``bits`` bits

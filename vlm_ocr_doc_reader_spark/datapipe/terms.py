@@ -46,6 +46,36 @@ def heavy_hitters(df: DataFrame, k: int = 50, id_col: str = "doc_id",
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
 
 
+def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          vocab: DataFrame | None = None) -> DataFrame:
+    """Per-doc mean unigram log-probability — the cheap LM-quality proxy
+    (CCNet-style filtering uses a real LM; the unigram model is its exact,
+    oracle-able analog): documents full of rare/garbage tokens score low,
+    prose built from common vocabulary scores high.  Output:
+    (id, n_tokens, avg_logprob), logp(t) = ln((c_t + 1) / (N + V))
+    (add-one smoothed; OOV tokens get c_t = 0).
+
+    ``vocab``: (token, c) counts to score against — pass the TRAIN corpus
+    vocabulary to score held-out or incoming docs; default scores the
+    corpus against itself.  The vocabulary broadcasts (same skew argument
+    as ``tfidf_top_terms``: the join key is power-law distributed, the
+    (token, count) table is orders of magnitude smaller than the corpus).
+    """
+    tf = doc_token_counts(df, id_col, text_col)
+    if vocab is None:
+        vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    stats = vocab.agg(F.sum("c").alias("_n"), F.count("*").alias("_v"))
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                 / (F.col("_n") + F.col("_v")))
+    return (tf.join(F.broadcast(vocab), "token", "left")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("id")
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.round((F.sum(F.col("tf") * logp) / F.sum("tf"))
+                         .cast("double"), 6).alias("avg_logprob")))
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text",
                     broadcast_dfreq: bool = True) -> DataFrame:
