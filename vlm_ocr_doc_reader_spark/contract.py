@@ -809,6 +809,67 @@ GROUP BY id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: epoch-shuffled docs salted into 8
+    streams, contiguous greedy packing into 512-token sequences via one
+    per-stream cumulative window — each stream is an independent shard."""
+    from .datapipe.assembly import pack_sequences
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return pack_sequences(d, token_budget=512, n_streams=8, seed=0)
+
+
+ORACLE_PACK = """
+WITH d AS (
+  SELECT doc_id AS id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents WHERE doc_id < 500
+), s AS (
+  SELECT *, CAST(CAST('0x' || substr(k, 1, 7) AS BIGINT) % 8 AS INTEGER)
+            AS stream
+  FROM d
+), w AS (
+  SELECT id, n_tokens, stream,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY stream ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM s
+)
+SELECT id, n_tokens, stream,
+       CAST(floor(pre / 512) AS BIGINT) AS seq_id,
+       CAST(pre - CAST(floor(pre / 512) AS BIGINT) * 512 AS BIGINT)
+         AS seq_offset
+FROM w
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic source-mixture downsampling over the event stream
+    (event_type as the source): per-source keep-rates via the md5 draw —
+    stable under repartitioning, unlisted sources drop."""
+    from .datapipe.assembly import mixture_sample
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "user_id")
+    rates = {"click": 0.5, "view": 0.2, "purchase": 1.0}
+    return mixture_sample(ev, rates, source_col="event_type",
+                          id_col="event_id")
+
+
+ORACLE_MIXTURE = """
+SELECT event_id, event_type, user_id
+FROM (
+  SELECT *,
+         CAST('0x' || substr(md5('mixture:' || CAST(event_id AS VARCHAR)),
+                             1, 12) AS BIGINT)
+           / 281474976710656.0 AS u
+  FROM events)
+WHERE u < CASE event_type WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.2
+          WHEN 'purchase' THEN 1.0 ELSE 0.0 END
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Corpus-wide top-50 tokens: partial-agg counting + top-k via
     TakeOrderedAndProject (never a global sort)."""
@@ -2311,6 +2372,8 @@ QUERIES = {
     "hist_quantiles": q_hist_quantiles,
     "decontam_overlap": q_decontam_overlap,
     "lm_score": q_lm_score,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2430,6 +2493,8 @@ ORACLES = {
     "hist_quantiles": ORACLE_HIST_Q,
     "decontam_overlap": ORACLE_DECONTAM,
     "lm_score": ORACLE_LM_SCORE,
+    "pack_sequences": ORACLE_PACK,
+    "mixture_sample": ORACLE_MIXTURE,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),
