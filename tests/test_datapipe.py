@@ -97,6 +97,25 @@ def test_duplicate_clusters_end_to_end(docs):
     assert got.get(1) == 1 and got.get(2) == 1
 
 
+def test_corpus_report_card_values(spark):
+    """dup_rate counts exact normalized dups, en_share reflects lang mix,
+    token totals sum — checked on a hand corpus."""
+    from vlm_ocr_doc_reader_spark.datapipe.report import corpus_report
+    en = ("the data and the model of the pipeline runs well and the "
+          "results are good for the team")
+    de = "der Tisch und die Daten der der und und die die der und heute."
+    df = spark.createDataFrame(
+        [(1, en, "a"), (2, en + " ", "a"), (3, de, "a"),   # 2+3: one dup pair
+         (4, en, "b")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in corpus_report(df).collect()}
+    assert got["a"]["n_docs"] == 3 and got["a"]["n_unique"] == 2
+    assert abs(got["a"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert abs(got["a"]["en_share"] - 2 / 3) < 1e-6
+    assert got["b"]["dup_rate"] == 0.0 and got["b"]["en_share"] == 1.0
+    assert got["b"]["total_tokens"] == len(en.split())
+
+
 def test_decontaminate_flags_leaked_eval_docs(spark):
     """A test doc quoting a train 3-gram is dropped; clean docs survive
     unchanged; a boilerplate shingle shared by MANY train docs is capped

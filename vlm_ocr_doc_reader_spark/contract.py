@@ -809,6 +809,37 @@ GROUP BY id
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source data card: volume/quality/language/duplication in one
+    hash aggregate over the already-oracled per-doc operators."""
+    from .datapipe.report import corpus_report
+    return corpus_report(load(spark, sf_dir, "documents"))
+
+
+def _oracle_corpus_report() -> str:
+    return f"""
+WITH qf AS ({ORACLE_QUALITY}),
+l AS (SELECT doc_id, {_lang_id_case_sql()} AS pred_lang
+      FROM (SELECT doc_id, {_lang_id_cols_sql()} FROM documents) h),
+dg AS (SELECT doc_id, source,
+              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                AS digest
+       FROM documents)
+SELECT dg.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(qf.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(qf.quality_score), 6) AS mean_quality,
+       round(avg(CASE WHEN l.pred_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+         AS en_share,
+       CAST(count(DISTINCT dg.digest) AS BIGINT) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT dg.digest) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       round(avg(qf.n_chars), 6) AS mean_chars
+FROM dg JOIN qf USING (doc_id) JOIN l USING (doc_id)
+GROUP BY dg.source
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing: epoch-shuffled docs salted into 8
     streams, contiguous greedy packing into 512-token sequences via one
@@ -2374,6 +2405,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
+    "corpus_report": q_corpus_report,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2495,6 +2527,7 @@ ORACLES = {
     "lm_score": ORACLE_LM_SCORE,
     "pack_sequences": ORACLE_PACK,
     "mixture_sample": ORACLE_MIXTURE,
+    "corpus_report": _oracle_corpus_report(),
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),

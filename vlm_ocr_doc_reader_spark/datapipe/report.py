@@ -1,0 +1,42 @@
+"""Corpus reporting: the per-source "data card" every corpus release
+ships with — volume, quality, language mix, duplication — as ONE composed
+aggregate over the package's gated per-doc operators.
+
+Scale shape: the per-doc stage is pure narrow Catalyst (quality features,
+language ID, content digest — all existing oracled operators); the report
+itself is a single hash aggregate on the source key plus a distinct-digest
+count.  `countDistinct` inside the agg expands to a two-phase plan
+(partial distinct per partition, then merge) — fine while per-source
+distinct counts fit the agg buffers; a corpus with billions of docs per
+source swaps the exact distinct for `sketches.kmv_sketch` per source and
+keeps the rest of the report unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _norm
+from .textstats import lang_id, quality_features
+
+
+def corpus_report(docs: DataFrame, source_col: str = "source",
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One row per source: (source, n_docs, total_tokens, mean_quality,
+    en_share, n_unique, dup_rate, mean_chars)."""
+    q = quality_features(docs, text_col=text_col)
+    ql = lang_id(q, text_col=text_col)
+    d = ql.withColumn("_digest", F.md5(_norm(F.col(text_col))))
+    n_uniq = F.countDistinct("_digest")
+    return (d.groupBy(source_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+                 F.round(F.avg((F.col("pred_lang") == "en")
+                               .cast("double")), 6).alias("en_share"),
+                 n_uniq.cast("long").alias("n_unique"),
+                 F.round(F.lit(1.0) - n_uniq / F.count("*"), 6)
+                  .alias("dup_rate"),
+                 F.round(F.avg("n_chars"), 6).alias("mean_chars")))
