@@ -85,6 +85,31 @@ def test_heavy_hitters_and_tfidf(spark):
     assert tt[2] == "cherry" and tt[3] == "banana"
 
 
+def test_weighted_sample_topk_proportional_and_stable(spark):
+    """Heavier rows win more often (exponential race), exactly k rows come
+    back, zero-weight rows never appear, and the sample is repartition-
+    stable."""
+    import pyspark.sql.functions as F
+
+    from vlm_ocr_doc_reader_spark.datapipe.sampling import weighted_sample_topk
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 100.0)     # heavy 10%
+         .when(F.col("id") < 900, 1.0)       # light 80%
+         .otherwise(0.0).alias("w"))         # excluded 10%
+    got = weighted_sample_topk(df, k=100, weight_col="w").collect()
+    assert len(got) == 100
+    ids = {r["doc_id"] for r in got}
+    assert not any(i >= 900 for i in ids)  # zero weight excluded
+    n_heavy = len([i for i in ids if i < 100])
+    # heavy rows are 100x likelier per unit: expect most of the sample
+    assert n_heavy > 60
+    got2 = {r["doc_id"]
+            for r in weighted_sample_topk(df.repartition(17), k=100,
+                                          weight_col="w").collect()}
+    assert ids == got2
+
+
 def test_curate_corpus_policies(spark):
     """Each drop policy fires on a doc built to trigger exactly it, and
     survivors carry a split assignment."""

@@ -809,6 +809,26 @@ GROUP BY id
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample: 100 docs weighted by length —
+    exponential-race keys, top-k via TakeOrderedAndProject."""
+    from .datapipe.sampling import weighted_sample_topk
+    d = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                "n_chars")
+    return weighted_sample_topk(d, k=100, weight_col="n_chars")
+
+
+ORACLE_WSAMPLE = """
+SELECT doc_id, source, n_chars,
+       round(-ln(CAST('0x' || substr(md5('wsample' ||
+                 CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                 / 281474976710656.0)
+             / CAST(n_chars AS DOUBLE), 6) AS _wkey
+FROM documents WHERE n_chars > 0
+ORDER BY _wkey ASC, doc_id ASC LIMIT 100
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-source data card: volume/quality/language/duplication in one
     hash aggregate over the already-oracled per-doc operators."""
@@ -2406,6 +2426,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "corpus_report": q_corpus_report,
+    "weighted_sample": q_weighted_sample,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2528,6 +2549,7 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK,
     "mixture_sample": ORACLE_MIXTURE,
     "corpus_report": _oracle_corpus_report(),
+    "weighted_sample": ORACLE_WSAMPLE,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),

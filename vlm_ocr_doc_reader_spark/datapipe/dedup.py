@@ -338,7 +338,8 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
 
 def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,
                   id_col: str = "doc_id", text_col: str = "text",
-                  max_train_df: int = 1000) -> DataFrame:
+                  max_train_df: int = 1000,
+                  persist_intermediate: bool = True) -> DataFrame:
     """Benchmark decontamination probe: (test_id, train_id, n_shared) for
     every test doc sharing at least one distinct n-word shingle with a
     train doc — the standard check that an eval set has not leaked into
@@ -353,14 +354,19 @@ def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,
     here are a LOWER bound and callers can re-run with a higher cap."""
     tr = shingles(train, k=n, id_col=id_col, text_col=text_col) \
         .withColumnRenamed("id", "train_id")
+    # the train shingle table feeds the cap aggregate AND the overlap
+    # join; without a cut the train-side explode runs twice
+    if persist_intermediate:
+        from pyspark import StorageLevel
+        tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
     te = shingles(test, k=n, id_col=id_col, text_col=text_col) \
         .withColumnRenamed("id", "test_id")
     common = (tr.groupBy("shingle")
               .agg(F.count("*").alias("_df"))
               .filter(F.col("_df") <= max_train_df)
               .select("shingle"))
-    tr = tr.join(common, "shingle", "left_semi")
-    return (te.join(tr, "shingle")
+    tr_capped = tr.join(common, "shingle", "left_semi")
+    return (te.join(tr_capped, "shingle")
             .groupBy("test_id", "train_id")
             .agg(F.count("*").alias("n_shared")))
 

@@ -60,6 +60,30 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(hash_uniform_col(F.col(id_col), salt) < frac)
 
 
+def weighted_sample_topk(df: DataFrame, k: int,
+                         weight_col: str, id_col: str = "doc_id",
+                         salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of exactly k rows
+    (Efraimidis-Spirakis A-ES): each row draws u = hash-uniform(id) and
+    gets key = -ln(u) / w; the k SMALLEST keys win.  Inclusion probability
+    is proportional to weight (exponential-race argument), and the sample
+    is a pure function of (salt, id, weight) — reproducible and
+    repartition-stable like every sampler here.
+
+    Scale shape: the key is a narrow expression and the top-k compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge of k rows —
+    never a global sort).  Rows with weight <= 0 are excluded (their race
+    never finishes).  Output: input columns + ``_wkey`` (the race key,
+    kept so callers can audit / re-rank)."""
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform_col(F.col(id_col), salt)
+    key = -F.log(u) / w
+    return (df.filter(w > 0)
+            .withColumn("_wkey", F.round(key, 6).cast("double"))
+            .orderBy(F.asc("_wkey"), F.asc(F.col(id_col)))
+            .limit(k))
+
+
 def assign_splits(df: DataFrame, weights: dict[str, float],
                   id_col: str = "doc_id",
                   salt: str = "split",
