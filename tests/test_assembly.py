@@ -60,6 +60,8 @@ def test_mixture_rates_downsamples_to_binding_source():
     assert abs(rates["web"] - 0.1) < 1e-12
     with pytest.raises(ValueError, match="no token counts"):
         mixture_rates({"web": 10}, {"web": 0.5, "missing": 0.5})
+    with pytest.raises(ValueError, match="infeasible"):
+        mixture_rates({"web": 10, "code": 0}, {"web": 0.5, "code": 0.5})
 
 
 def test_mixture_sample_deterministic_and_drops_unlisted(spark):

@@ -74,6 +74,21 @@ def test_connected_components_chain_and_islands(spark):
     assert got2[99] == 99 and got2[4] == 1
 
 
+def test_connected_components_strict_on_unconverged(spark):
+    """A diameter beyond max_iter must RAISE by default (a survivor policy
+    on partial labels silently keeps extra docs); strict=False opts into
+    the partial result."""
+    import pytest
+
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import connected_components
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a int, id_b int")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(pairs, max_iter=3)
+    partial = connected_components(pairs, max_iter=3, strict=False)
+    assert partial.count() == 13  # all nodes labeled, possibly not minimal
+
+
 def test_connected_components_converges_under_max_iter(spark):
     """A long path graph needs ~diameter rounds; max_iter below that leaves
     labels unconverged only if the loop ignored convergence — with the

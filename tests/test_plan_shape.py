@@ -143,6 +143,35 @@ def test_write_partitioned_refuses_high_cardinality(spark):
                           max_partitions=50)
 
 
+def test_write_partitioned_counts_combinations_not_product(spark, tmp_path):
+    """Regression: the guard multiplied per-column distincts; a sparse
+    (a, b) layout whose PRODUCT exceeds the cap but whose real combination
+    count doesn't must be accepted."""
+    from vlm_ocr_doc_reader_spark.sources.layout import write_partitioned
+    # a == b always: 30 x 30 product, but only 30 combinations
+    df = spark.range(300).selectExpr("id", "id % 30 AS a", "id % 30 AS b")
+    out = str(tmp_path / "combo")
+    write_partitioned(df, out, ["a", "b"], max_partitions=50)
+    assert spark.read.parquet(out).count() == 300
+
+
+def test_write_partitioned_multiple_files_per_partition(spark, tmp_path):
+    """Regression: files_per_partition > 1 was a silent no-op (hash
+    repartition on the partition key routes every row of a value to one
+    task).  The salted writer must actually split a populous directory."""
+    import glob
+
+    from vlm_ocr_doc_reader_spark.sources.layout import write_partitioned
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "multi")
+    write_partitioned(ev, out, ["event_type"], files_per_partition=3)
+    assert spark.read.parquet(out).count() == ev.count()
+    sizes = [len(glob.glob(f"{d}/*.parquet"))
+             for d in glob.glob(f"{out}/event_type=*")]
+    assert max(sizes) > 1          # populous dirs actually split
+    assert all(s <= 3 for s in sizes)
+
+
 def test_vote_partial_aggregation(spark):
     """The vote agg must use hash aggregation (map-side partials)."""
     from vlm_ocr_doc_reader_spark.operators.vote import majority_vote

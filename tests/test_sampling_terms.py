@@ -110,6 +110,22 @@ def test_weighted_sample_topk_proportional_and_stable(spark):
     assert ids == got2
 
 
+def test_weighted_sample_large_weights_not_id_selection(spark):
+    """Regression: rounding the race key before ordering collapsed
+    realistic large weights (key ~ 1e-6) into ties broken by id, turning
+    the sampler into smallest-k-ids.  With full-precision ordering the
+    sample of equal-weight rows must NOT be the k smallest ids."""
+    import pyspark.sql.functions as F
+
+    from vlm_ocr_doc_reader_spark.datapipe.sampling import weighted_sample_topk
+    df = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                  F.lit(1_000_000.0).alias("w"))
+    ids = sorted(r["doc_id"]
+                 for r in weighted_sample_topk(df, 50, "w").collect())
+    assert ids != list(range(50))  # hash race, not id order
+    assert len(ids) == 50
+
+
 def test_curate_corpus_policies(spark):
     """Each drop policy fires on a doc built to trigger exactly it, and
     survivors carry a split assignment."""
@@ -158,10 +174,10 @@ def test_curate_corpus_component_policy_keeps_chain_representative(spark):
 
 
 def test_curate_corpus_cache_released(spark):
-    """curate_corpus persists its deduped intermediate; release_intermediate
-    must actually unpersist it (no cache accumulating across calls), and the
-    persist_intermediate=False path must attach no handle and still be
-    correct."""
+    """curate_corpus persists intermediates at several layers (deduped
+    frame + the LSH band / candidate / token caches of its sub-operators);
+    release_intermediate must free ALL of them, and
+    persist_intermediate=False must persist nothing anywhere."""
     from pyspark import StorageLevel
 
     from vlm_ocr_doc_reader_spark.datapipe.curate import (
@@ -172,14 +188,15 @@ def test_curate_corpus_cache_released(spark):
          for i in range(8)], "doc_id long, text string")
     out = curate_corpus(df, min_quality=0.2, jaccard_threshold=0.99)
     n = out.count()
-    handle = out._curation_intermediate
-    assert handle.storageLevel != StorageLevel.NONE
+    handles = out._cached_deps
+    assert len(handles) >= 3  # exact + bands + cand/toks at least
+    assert all(h.storageLevel != StorageLevel.NONE for h in handles)
     release_intermediate(out)
-    assert handle.storageLevel == StorageLevel.NONE
+    assert all(h.storageLevel == StorageLevel.NONE for h in handles)
     release_intermediate(out)  # idempotent
 
     plain = curate_corpus(df, min_quality=0.2, jaccard_threshold=0.99,
                           persist_intermediate=False)
-    assert not hasattr(plain, "_curation_intermediate")
+    assert not getattr(plain, "_cached_deps", [])
     assert plain.count() == n
     release_intermediate(plain)  # no-op, no raise

@@ -73,6 +73,19 @@ def test_histogram_quantiles_within_one_bin_width(spark):
     assert abs(got[0.95] - 950) <= bin_width
 
 
+def test_histogram_quantiles_ignores_nulls(spark):
+    """Regression: null values used to land in a null bin that the
+    ascending window sorted FIRST, inflating every cumulative count."""
+    vals = [(float(i),) for i in range(101)]
+    clean = spark.createDataFrame(vals, "x double")
+    dirty = spark.createDataFrame(vals + [(None,)] * 50, "x double")
+    a = {r["q"]: r["value"]
+         for r in histogram_quantiles(clean, "x", [0.5], 50).collect()}
+    b = {r["q"]: r["value"]
+         for r in histogram_quantiles(dirty, "x", [0.5], 50).collect()}
+    assert a == b
+
+
 def test_histogram_quantiles_grouped_and_degenerate(spark):
     df = spark.createDataFrame(
         [("g1", float(i)) for i in range(101)] + [("c", 7.0)] * 5,

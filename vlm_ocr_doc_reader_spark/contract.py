@@ -523,17 +523,21 @@ FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 """
 
 
-_DUCK_SHINGLES3 = """
-  SELECT DISTINCT doc_id AS id,
+# 3-gram shingles with parameterized alias/filter (dedup.shingles' DuckDB
+# twin); _DUCK_SHINGLES3 is the common doc_id < lim instantiation
+_DUCK_SHINGLES3_WHERE = """
+  SELECT DISTINCT doc_id AS {alias},
          array_to_string(words[i:i+2], ' ') AS shingle
   FROM (SELECT doc_id,
                string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
                                                  'g')), ' ') AS words
-        FROM documents WHERE doc_id < {lim}) d,
+        FROM documents WHERE {where}) d,
        LATERAL (SELECT unnest(generate_series(1,
                 CASE WHEN len(words) >= 3 THEN len(words) - 2 ELSE 1 END))
                 AS i) g
 """
+_DUCK_SHINGLES3 = _DUCK_SHINGLES3_WHERE.format(alias="id",
+                                               where="doc_id < {lim}")
 
 
 def q_minhash_sig(spark, sf_dir):
@@ -743,20 +747,6 @@ _DUCK_TF = """
 """
 
 
-# 3-gram shingles with an arbitrary doc filter (decontamination oracle)
-_DUCK_SHINGLES3_WHERE = """
-  SELECT DISTINCT doc_id AS {alias},
-         array_to_string(words[i:i+2], ' ') AS shingle
-  FROM (SELECT doc_id,
-               string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                 'g')), ' ') AS words
-        FROM documents WHERE {where}) d,
-       LATERAL (SELECT unnest(generate_series(1,
-                CASE WHEN len(words) >= 3 THEN len(words) - 2 ELSE 1 END))
-                AS i) g
-"""
-
-
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark decontamination probe: which held-out docs share a 3-gram
     with the train slice (n=3 here so the synthetic corpus produces hits;
@@ -819,13 +809,14 @@ def q_weighted_sample(spark, sf_dir):
 
 
 ORACLE_WSAMPLE = """
-SELECT doc_id, source, n_chars,
-       round(-ln(CAST('0x' || substr(md5('wsample' ||
-                 CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
-                 / 281474976710656.0)
-             / CAST(n_chars AS DOUBLE), 6) AS _wkey
-FROM documents WHERE n_chars > 0
-ORDER BY _wkey ASC, doc_id ASC LIMIT 100
+SELECT doc_id, source, n_chars, round(k, 6) AS _wkey FROM (
+  SELECT doc_id, source, n_chars,
+         -ln(CAST('0x' || substr(md5('wsample' ||
+             CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+             / 281474976710656.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0
+  ORDER BY k ASC, doc_id ASC LIMIT 100)
 """
 
 

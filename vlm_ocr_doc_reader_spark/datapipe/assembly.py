@@ -80,6 +80,12 @@ def mixture_rates(source_tokens: dict[str, int],
     missing = set(target_shares) - set(source_tokens)
     if missing:
         raise ValueError(f"mixture_rates: no token counts for {missing}")
+    empty = [s for s, share in target_shares.items()
+             if share > 0 and source_tokens[s] <= 0]
+    if empty:
+        raise ValueError(
+            f"mixture_rates: sources {empty} have a positive target share "
+            "but zero available tokens — the target mixture is infeasible")
     # total output tokens T solves max_s(share_s * T / tokens_s) == 1
     t_out = min(source_tokens[s] / share
                 for s, share in target_shares.items() if share > 0)

@@ -96,10 +96,12 @@ def curate_corpus(docs: DataFrame,
     cand = minhash_candidate_pairs(
         minhash_band_buckets(exact, n_hashes=n_hashes,
                              rows_per_band=rows_per_band, k=k_shingle,
-                             id_col=id_col, text_col=text_col))
-    similar = (jaccard_pairs(exact, candidates=cand, k=k_shingle,
-                             id_col=id_col, text_col=text_col)
-               .filter(F.col("jaccard") >= jaccard_threshold))
+                             id_col=id_col, text_col=text_col),
+        persist_intermediate=persist_intermediate)
+    jac = jaccard_pairs(exact, candidates=cand, k=k_shingle,
+                        id_col=id_col, text_col=text_col,
+                        persist_intermediate=persist_intermediate)
+    similar = jac.filter(F.col("jaccard") >= jaccard_threshold)
     if survivor_policy == "greedy":
         drop_ids = similar.select(F.col("id_b").alias(id_col)).distinct()
     elif survivor_policy == "component":
@@ -115,17 +117,23 @@ def curate_corpus(docs: DataFrame,
 
     out = (assign_splits(survivors, weights, id_col=id_col)
            .select(id_col, "pred_lang", "quality_score", "split"))
+    from .cache import attach_cached_deps
     if persist_intermediate:
-        out._curation_intermediate = exact
+        # fold in EVERY cache below: our deduped frame plus the handles
+        # the LSH/Jaccard sub-operators persisted (jac carries cand's too)
+        attach_cached_deps(out, jac, exact)
     return out
 
 
 def release_intermediate(curated: DataFrame) -> None:
-    """Unpersist the cached intermediate a :func:`curate_corpus` result
-    carries.  Call AFTER the result is materialized (collected/written):
-    unpersisting earlier is still correct — Spark recomputes — but forfeits
-    the cache the pipeline paid for.  No-op for results built with
-    ``persist_intermediate=False``."""
-    handle = getattr(curated, "_curation_intermediate", None)
-    if handle is not None:
-        handle.unpersist()
+    """Unpersist every cached intermediate a :func:`curate_corpus` result
+    carries — the deduped frame AND the LSH band / candidate / token
+    caches its sub-operators persisted.  Call AFTER the result is
+    materialized (collected/written): unpersisting earlier is still
+    correct — Spark recomputes — but forfeits the cache the pipeline paid
+    for.  No-op for results built with ``persist_intermediate=False``.
+    NOTE: the handles ride on the exact returned object; a further
+    transformation (.filter etc.) returns a NEW DataFrame without them —
+    release the original."""
+    from .cache import release_cached
+    release_cached(curated)

@@ -177,9 +177,11 @@ def minhash_candidate_pairs(bands: DataFrame,
     bulk of the r3 curation first-run outlier).  The persisted frame is
     only (id, band_idx, band_hash); on a cluster the same cut is a
     checkpoint."""
+    cached = []
     if persist_intermediate:
         from pyspark import StorageLevel
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = [bands]
     sized = (bands.groupBy("band_idx", "band_hash")
              .agg(F.count("*").alias("sz"))
              .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
@@ -187,13 +189,16 @@ def minhash_candidate_pairs(bands: DataFrame,
                    ["band_idx", "band_hash"])
     a = b.select("band_idx", "band_hash", F.col("id").alias("id_a"))
     c = b.select("band_idx", "band_hash", F.col("id").alias("id_b"))
-    return (a.join(c, ["band_idx", "band_hash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    out = (a.join(c, ["band_idx", "band_hash"])
+           .filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b").distinct())
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, *cached)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25,
-                         nodes: DataFrame | None = None) -> DataFrame:
+                         nodes: DataFrame | None = None,
+                         strict: bool = True) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (id_a, id_b) edges -> (id, component) where ``component`` is the
     smallest id reachable from ``id``.  This is the transitive-closure
@@ -218,6 +223,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
 
     ``nodes``: optional (id) frame; ids not in any pair then appear as
     their own singleton component (default: nodes = ids seen in pairs).
+
+    ``strict``: labels still changing after ``max_iter`` rounds (graph
+    diameter exceeded the budget) raise RuntimeError rather than silently
+    returning a partial clustering — a survivor policy computed from
+    unconverged labels would keep extra "survivors" with no signal.  Pass
+    ``strict=False`` to accept the partial result knowingly.
     """
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
@@ -231,6 +242,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
         nodes = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         # neighbor messages: each edge ships its dst's current label to src
         msgs = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -248,6 +260,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
         if changed == 0:
             break
     edges.unpersist()
+    if strict and changed != 0:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} rounds (graph diameter exceeds the budget); "
+            "raise max_iter, or pass strict=False to accept the partial "
+            "clustering")
     return labels
 
 
@@ -296,19 +314,26 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
     of the two small frames.
     """
     from pyspark import StorageLevel
+
+    from .cache import attach_cached_deps
+    cached = []
     toks = shingles(df, k=k, id_col=id_col, text_col=text_col) if k > 1 \
         else tokens(df, id_col=id_col, text_col=text_col).withColumnRenamed(
             "token", "shingle")
     if candidates is not None:
+        # fold in any caches the candidate pipeline itself persisted
+        cached.extend(getattr(candidates, "_cached_deps", []))
         cand = candidates.select("id_a", "id_b")
         if persist_intermediate:
             cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cand)
         ids = (cand.select(F.col("id_a").alias("id"))
                .union(cand.select("id_b")).distinct())
         # prune the token table to candidate members BEFORE anything heavy
         toks = toks.join(ids, "id", "left_semi")
         if persist_intermediate:
             toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(toks)
         ta = toks.select(F.col("id").alias("id_a"), "shingle")
         tb = toks.select(F.col("id").alias("id_b"), "shingle")
         inter = (cand.join(ta, "id_a")
@@ -318,6 +343,7 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
     else:
         if persist_intermediate:
             toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(toks)
         ta = toks.select(F.col("id").alias("id_a"), "shingle")
         tb = toks.select(F.col("id").alias("id_b"), "shingle")
         inter = (ta.join(tb, "shingle")
@@ -325,15 +351,16 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                  .groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("n_inter")))
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    return (inter
-            .join(sizes.select(F.col("id").alias("id_a"),
-                               F.col("sz").alias("sz_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("sz").alias("sz_b")), "id_b")
-            .select("id_a", "id_b",
-                    (F.col("n_inter")
-                     / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
-                    .cast("double").alias("jaccard")))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("id_a"),
+                              F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("sz").alias("sz_b")), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+                   .cast("double").alias("jaccard")))
+    return attach_cached_deps(out, *cached)
 
 
 def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,
@@ -356,9 +383,11 @@ def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,
         .withColumnRenamed("id", "train_id")
     # the train shingle table feeds the cap aggregate AND the overlap
     # join; without a cut the train-side explode runs twice
+    cached = []
     if persist_intermediate:
         from pyspark import StorageLevel
         tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = [tr]
     te = shingles(test, k=n, id_col=id_col, text_col=text_col) \
         .withColumnRenamed("id", "test_id")
     common = (tr.groupBy("shingle")
@@ -366,9 +395,11 @@ def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,
               .filter(F.col("_df") <= max_train_df)
               .select("shingle"))
     tr_capped = tr.join(common, "shingle", "left_semi")
-    return (te.join(tr_capped, "shingle")
-            .groupBy("test_id", "train_id")
-            .agg(F.count("*").alias("n_shared")))
+    out = (te.join(tr_capped, "shingle")
+           .groupBy("test_id", "train_id")
+           .agg(F.count("*").alias("n_shared")))
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, *cached)
 
 
 def decontaminate(train: DataFrame, test: DataFrame, n: int = 13,
@@ -378,11 +409,13 @@ def decontaminate(train: DataFrame, test: DataFrame, n: int = 13,
     """Drop every test doc sharing >= ``min_shared`` n-gram shingles with
     ANY train doc; returns the clean test rows unchanged.  One anti-join
     against the overlap probe — test rows, not shingles, are what ship."""
-    dirty = (ngram_overlap(train, test, n=n, id_col=id_col,
-                           text_col=text_col, max_train_df=max_train_df)
-             .filter(F.col("n_shared") >= min_shared)
+    ov = ngram_overlap(train, test, n=n, id_col=id_col,
+                       text_col=text_col, max_train_df=max_train_df)
+    dirty = (ov.filter(F.col("n_shared") >= min_shared)
              .select(F.col("test_id").alias(id_col)).distinct())
-    return test.join(dirty, id_col, "left_anti")
+    out = test.join(dirty, id_col, "left_anti")
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, ov)
 
 
 def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id",

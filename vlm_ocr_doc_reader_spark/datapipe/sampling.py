@@ -74,14 +74,23 @@ def weighted_sample_topk(df: DataFrame, k: int,
     TakeOrderedAndProject (per-partition top-k + driver merge of k rows —
     never a global sort).  Rows with weight <= 0 are excluded (their race
     never finishes).  Output: input columns + ``_wkey`` (the race key,
-    kept so callers can audit / re-rank)."""
+    kept so callers can audit / re-rank).
+
+    The ORDERING key is the full-precision double: rounding it first
+    would collapse large-weight keys (w ~ 1e6 gives keys ~ 1e-6) into
+    ties broken by id — smallest-id selection, not weighted sampling.
+    Only the REPORTED ``_wkey`` column is rounded (display/oracle
+    canonicalization); id is still the final tie-break for the
+    measure-zero exact-tie case."""
     w = F.col(weight_col).cast("double")
     u = hash_uniform_col(F.col(id_col), salt)
     key = -F.log(u) / w
     return (df.filter(w > 0)
-            .withColumn("_wkey", F.round(key, 6).cast("double"))
-            .orderBy(F.asc("_wkey"), F.asc(F.col(id_col)))
-            .limit(k))
+            .withColumn("_wkey_full", key.cast("double"))
+            .orderBy(F.asc("_wkey_full"), F.asc(F.col(id_col)))
+            .limit(k)
+            .withColumn("_wkey", F.round(F.col("_wkey_full"), 6))
+            .drop("_wkey_full"))
 
 
 def assign_splits(df: DataFrame, weights: dict[str, float],

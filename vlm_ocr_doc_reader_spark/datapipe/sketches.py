@@ -90,16 +90,12 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     return sketch.select(*keep, F.round(est, 6).alias("distinct_est"))
 
 
-def cms_build(df: DataFrame, col: str, depth: int = 4,
-              width: int = 256) -> DataFrame:
-    """Count-Min sketch table: (d, bucket, cnt), one row per non-empty
-    counter.  bucket_d(x) = first-13-hex of md5(d || ':' || x) mod width.
-
-    One explode (narrow, depth rows per input row) + one hash aggregate on
-    (d, bucket) — at most depth*width groups regardless of corpus size, so
-    the shuffle is O(depth * width) after map-side combine.  Counters only
-    ever OVER-estimate (collisions add)."""
-    h = F.transform(
+def _cms_bucket_structs(col: str, depth: int, width: int):
+    """Array of (d, bucket) structs for a value — the ONE definition of
+    the CMS hash family, shared by build and query so they can never
+    drift apart: bucket_d(x) = first-13-hex of md5(d || ':' || x) mod
+    width."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(depth - 1)),
         lambda d: F.struct(
             d.cast("int").alias("d"),
@@ -108,6 +104,18 @@ def cms_build(df: DataFrame, col: str, depth: int = 4,
                                F.col(col).cast("string"))),
                 1, _HEX_CHARS), 16, 10).cast("long") % width)
             .cast("int").alias("bucket")))
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-Min sketch table: (d, bucket, cnt), one row per non-empty
+    counter (hash family: ``_cms_bucket_structs``).
+
+    One explode (narrow, depth rows per input row) + one hash aggregate on
+    (d, bucket) — at most depth*width groups regardless of corpus size, so
+    the shuffle is O(depth * width) after map-side combine.  Counters only
+    ever OVER-estimate (collisions add)."""
+    h = _cms_bucket_structs(col, depth, width)
     return (df.select(F.explode(h).alias("_h"))
             .select("_h.d", "_h.bucket")
             .groupBy("d", "bucket")
@@ -120,16 +128,9 @@ def cms_query(sketch: DataFrame, items: DataFrame, col: str,
 
     est = min over d of counter[d][bucket_d(item)] (missing counter = 0).
     The sketch is depth*width rows — broadcast it; the items side never
-    shuffles."""
-    h = F.transform(
-        F.sequence(F.lit(0), F.lit(depth - 1)),
-        lambda d: F.struct(
-            d.cast("int").alias("d"),
-            (F.conv(F.substring(
-                F.md5(F.concat(d.cast("string"), F.lit(":"),
-                               F.col(col).cast("string"))),
-                1, _HEX_CHARS), 16, 10).cast("long") % width)
-            .cast("int").alias("bucket")))
+    shuffles.  depth/width MUST match the build call (the shared
+    ``_cms_bucket_structs`` keeps the hash family itself in sync)."""
+    h = _cms_bucket_structs(col, depth, width)
     probes = (items.select(F.col(col).alias("item"), F.explode(h).alias("_h"))
               .select("item", "_h.d", "_h.bucket"))
     return (probes
@@ -154,6 +155,11 @@ def histogram_quantiles(df: DataFrame, col: str, qs: list[float],
     group sizes.  Error is bounded by one bin width of the value range."""
     groups = group_cols or []
     x = F.col(col).cast("double")
+    # NULL values are EXCLUDED (documented): binning a null yields a null
+    # bin that Spark's ascending window would sort FIRST, silently
+    # inflating every cumulative count (and DuckDB sorts nulls LAST, so
+    # the two engines would disagree).  min/max already ignore nulls.
+    df = df.filter(x.isNotNull())
 
     bounds = df.groupBy(*groups).agg(F.min(x).alias("_lo"),
                                      F.max(x).alias("_hi"))

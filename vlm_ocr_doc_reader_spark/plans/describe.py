@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.classify import classify, heading_level_col, heading_title_col
-from .extract import classified_spans, explode_spans, extract_flat
+from ..operators.classify import heading_level_col, heading_title_col
+from .extract import classified_spans, extract_flat
 
 
 def document_structure(documents: DataFrame,
@@ -31,10 +31,13 @@ def document_structure(documents: DataFrame,
 
     Pure Catalyst (one narrow projection over the classified span table) —
     no shuffle at all.  ``classified``: a precomputed ``classified_spans``
-    frame to branch from (skips the classify scan here).
+    frame to branch from (skips the classify scan here).  Both paths go
+    through ``classified_spans``' null-guard (a span with a null offset or
+    kind is invalid input everywhere else in the engine — P5 quarantine),
+    so the default and precomputed paths return identical rows.
     """
     base = classified if classified is not None \
-        else classify(explode_spans(documents))
+        else classified_spans(documents)
     kept = base.filter(F.col("keep") & (F.col("kind") == "heading"))
     return kept.select(
         "doc_id",
@@ -77,11 +80,15 @@ def full_description(documents: DataFrame) -> DataFrame:
                   lambda s: s.h).alias("headers")))
     empty_headers = F.array().cast(
         "array<struct<level:int,title:string,page:int>>")
-    return (documents.select("doc_id")
-            .join(text_df, "doc_id", "left")
-            .join(hdr_df, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
-                    F.coalesce(F.col("headers"), empty_headers)
-                     .alias("headers"),
-                    F.array().cast("array<string>").alias("tables")))
+    out = (documents.select("doc_id")
+           .join(text_df, "doc_id", "left")
+           .join(hdr_df, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                   F.coalesce(F.col("headers"), empty_headers)
+                    .alias("headers"),
+                   F.array().cast("array<string>").alias("tables")))
+    # the classified frame is persisted for the two branches above; hand
+    # its handle to the caller (datapipe.cache.release_cached(result))
+    from ..datapipe.cache import attach_cached_deps
+    return attach_cached_deps(out, parsed)

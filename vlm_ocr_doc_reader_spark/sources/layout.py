@@ -38,24 +38,35 @@ def write_partitioned(df: DataFrame, path: str,
                       files_per_partition: int = 1,
                       mode: str = "error",
                       max_partitions: int = MAX_PARTITIONS) -> None:
-    """Write ``df`` partitioned by ``partition_cols`` with
+    """Write ``df`` partitioned by ``partition_cols`` with up to
     ``files_per_partition`` files per directory, rows sorted by
     ``sort_cols`` inside each file."""
-    n = (df.select([F.countDistinct(c).alias(c) for c in partition_cols])
-         .collect()[0])
-    total = 1
-    for c in partition_cols:
-        total *= max(1, n[c])
+    # cardinality guard on the actual COMBINATION count (one aggregate —
+    # multiplying per-column distincts would spuriously reject sparse
+    # multi-column layouts)
+    total = df.select(
+        F.countDistinct(F.struct(*partition_cols)).alias("n")) \
+        .collect()[0]["n"]
     if total > max_partitions:
         raise ValueError(
             f"write_partitioned: {total} partition directories from "
             f"{partition_cols} exceeds max_partitions={max_partitions}; "
             "partition on a lower-cardinality column (or bucket instead — "
             "sources/bucketing.py)")
-    shaped = (df.repartition(*[F.col(c) for c in partition_cols])
-              if files_per_partition == 1 else
-              df.repartition(files_per_partition * max(1, total),
-                             *[F.col(c) for c in partition_cols]))
+    if files_per_partition == 1:
+        shaped = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        # hash repartitioning on the partition columns alone routes ALL
+        # rows of one partition value to one task (one file) no matter
+        # the partition count — a salt column is what actually splits a
+        # directory across files
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                      F.lit(files_per_partition))
+        shaped = (df.withColumn("_fsalt", salt)
+                  .repartition(max(1, total) * files_per_partition,
+                               *[F.col(c) for c in partition_cols],
+                               F.col("_fsalt"))
+                  .drop("_fsalt"))
     if sort_cols:
         shaped = shaped.sortWithinPartitions(*partition_cols, *sort_cols)
     shaped.write.mode(mode).partitionBy(*partition_cols).parquet(path)
