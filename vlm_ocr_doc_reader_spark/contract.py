@@ -820,6 +820,60 @@ SELECT doc_id, source, n_chars, round(k, 6) AS _wkey FROM (
 """
 
 
+def q_keyword_search(spark, sf_dir):
+    """Conjunctive keyword search: docs containing ALL query terms —
+    query-term filter FIRST, so cost scales with posting sizes."""
+    from .datapipe.search import keyword_search
+    d = load(spark, sf_dir, "documents")
+    return keyword_search(d, ["spark", "table", "join"], mode="and")
+
+
+ORACLE_KEYWORD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS t
+    FROM documents) WHERE t <> ''
+)
+SELECT id, count(DISTINCT token) AS n_matched
+FROM toks WHERE token IN ('join', 'spark', 'table')
+GROUP BY id HAVING count(DISTINCT token) = 3
+"""
+
+
+def q_inverted_postings(spark, sf_dir):
+    """Inverted-index build with df-bounded posting lists (vocabulary
+    pruning keeps every collect_list buffer bounded); postings serialized
+    to a comma string for the gate compare."""
+    from .datapipe.search import inverted_postings
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    idx = inverted_postings(d, min_df=2, max_df=250)
+    return idx.select(
+        "token", "df",
+        F.array_join(F.transform("postings",
+                                 lambda x: x.cast("string")), ",")
+         .alias("postings"))
+
+
+ORACLE_POSTINGS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g')), ' ')) AS t
+    FROM documents WHERE doc_id < 300) WHERE t <> ''
+), counted AS (
+  SELECT token, count(*) AS df FROM toks GROUP BY token
+  HAVING count(*) >= 2 AND count(*) <= 250
+)
+SELECT t.token, CAST(c.df AS BIGINT) AS df,
+       array_to_string(list_sort(list(t.id)), ',') AS postings
+FROM toks t JOIN counted c USING (token)
+GROUP BY t.token, c.df
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-source data card: volume/quality/language/duplication in one
     hash aggregate over the already-oracled per-doc operators."""
@@ -2418,6 +2472,8 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "corpus_report": q_corpus_report,
     "weighted_sample": q_weighted_sample,
+    "keyword_search": q_keyword_search,
+    "inverted_postings": q_inverted_postings,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2541,6 +2597,8 @@ ORACLES = {
     "mixture_sample": ORACLE_MIXTURE,
     "corpus_report": _oracle_corpus_report(),
     "weighted_sample": ORACLE_WSAMPLE,
+    "keyword_search": ORACLE_KEYWORD,
+    "inverted_postings": ORACLE_POSTINGS,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),

@@ -1,0 +1,66 @@
+"""Keyword search over the corpus: inverted postings + conjunctive /
+disjunctive term lookup.
+
+The retrieval counterpart to the similarity module: exact term search for
+corpus forensics ("which documents mention X and Y") and the
+inverted-index build a downstream serving system ingests.
+
+Scale shapes:
+  * the token table is the same distinct (id, token) frame dedup uses —
+    one explode + distinct;
+  * ``keyword_search`` filters that table to the query terms FIRST (a
+    narrow `isin` over a literal list — predicate-pushdown friendly), so
+    the aggregate only ever sees rows matching the query: cost scales
+    with posting sizes, not corpus size;
+  * ``inverted_postings`` caps posting lists via ``min_df``/``max_df``
+    (vocabulary pruning): stopword postings are corpus-sized and nobody
+    serves them — the cap keeps every `collect_list` buffer bounded, and
+    dropped tokens are countable via the returned `df` column of a
+    no-cap run at a smaller sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def keyword_search(df: DataFrame, terms: list[str], mode: str = "and",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Docs matching the query terms (normalized-token equality).
+    Output: (id, n_matched) — ``mode='and'`` keeps docs containing ALL
+    terms, ``'or'`` any term.  Deterministic, oracle-exact."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"keyword_search: unknown mode {mode!r}")
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("keyword_search: empty term list")
+    toks = tokens(df, id_col=id_col, text_col=text_col)
+    hits = (toks.filter(F.col("token").isin(want))
+            .groupBy("id")
+            .agg(F.count_distinct("token").alias("n_matched")))
+    if mode == "and":
+        hits = hits.filter(F.col("n_matched") == len(want))
+    return hits
+
+
+def inverted_postings(df: DataFrame, min_df: int = 1,
+                      max_df: int = 10_000,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Inverted index rows: (token, df, postings array<id> sorted asc) for
+    tokens appearing in [min_df, max_df] documents.  The df filter runs on
+    the counted aggregate BEFORE list collection (two-phase: count, prune,
+    then collect only surviving tokens), so no stopword ever materializes
+    a corpus-sized posting array."""
+    toks = tokens(df, id_col=id_col, text_col=text_col)
+    counted = (toks.groupBy("token")
+               .agg(F.count("*").alias("df"))
+               .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    return (toks.join(F.broadcast(counted), "token")
+            .groupBy("token", "df")
+            .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+            .select("token", "df", "postings"))
