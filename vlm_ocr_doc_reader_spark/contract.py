@@ -2501,9 +2501,13 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "tfidf": q_tfidf,
     "det_sample": q_det_sample,
-    "strat_sample": q_strat_sample,
     "split_assign": q_split_assign,
+    # curation stays inside the driver's 50-query window: its composed
+    # pipeline touched round-4 code (persist registry, ingest guard), so
+    # it should keep earning fresh official rows; strat_sample (untouched,
+    # r03-green) rotates to the tail in its place
     "curation": q_curation,
+    "strat_sample": q_strat_sample,
     "consistency": q_consistency,
     "extract_flat": q_extract_flat,
     "header_parse": q_header_parse,
