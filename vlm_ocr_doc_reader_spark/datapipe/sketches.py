@@ -182,25 +182,24 @@ def histogram_quantiles(df: DataFrame, col: str, qs: list[float],
                 else Window.partitionBy())
                .rowsBetween(Window.unboundedPreceding,
                             Window.unboundedFollowing))))
-    out = None
-    for q in qs:
-        # covering bin: first bin whose cumulative count reaches q * total;
-        # interpolate position within the bin against its own count
-        target = F.lit(float(q)) * F.col("_total")
-        prev_cum = F.col("_cum") - F.col("_cnt")
-        frac = F.when(F.col("_cnt") == 0, F.lit(0.0)).otherwise(
-            (target - prev_cum) / F.col("_cnt"))
-        frac = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
-        width_ = (F.col("_hi") - F.col("_lo")) / n_bins
-        val = F.col("_lo") + (F.col("_bin") + frac) * width_
-        picked = (cum.filter(F.col("_cum") >= target)
-                  .withColumn("_rn", F.row_number().over(
-                      (Window.partitionBy(*groups) if groups
-                       else Window.partitionBy()).orderBy("_bin")))
-                  .filter(F.col("_rn") == 1)
-                  .select(*groups, F.lit(float(q)).alias("q"),
-                          F.round(F.when(F.col("_hi") == F.col("_lo"),
-                                         F.col("_lo")).otherwise(val), 6)
-                          .alias("value")))
-        out = picked if out is None else out.unionByName(picked)
-    return out
+    # ALL quantiles in one pass: explode the (tiny, literal) q list against
+    # the cumulative histogram and pick each q's covering bin with one
+    # window — a per-q loop would re-aggregate the corpus histogram once
+    # per quantile (the r4 plan audit caught exactly that)
+    cq = cum.select("*", F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    target = F.col("q") * F.col("_total")
+    prev_cum = F.col("_cum") - F.col("_cnt")
+    frac = F.when(F.col("_cnt") == 0, F.lit(0.0)).otherwise(
+        (target - prev_cum) / F.col("_cnt"))
+    frac = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
+    width_ = (F.col("_hi") - F.col("_lo")) / n_bins
+    val = F.col("_lo") + (F.col("_bin") + frac) * width_
+    wq = Window.partitionBy(*(groups + ["q"])).orderBy("_bin")
+    return (cq.filter(F.col("_cum") >= target)
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") == 1)
+            .select(*groups, "q",
+                    F.round(F.when(F.col("_hi") == F.col("_lo"),
+                                   F.col("_lo")).otherwise(val), 6)
+                    .alias("value")))
