@@ -112,6 +112,73 @@ def test_duplicate_clusters_end_to_end(docs):
     assert got.get(1) == 1 and got.get(2) == 1
 
 
+def test_refine_centroids_tightens_cells_and_helps_recall(spark):
+    """Lloyd refinement must (a) reduce mean distance-to-centroid round
+    over round on clustered data, (b) be deterministic, (c) never lose a
+    centroid row (empty cells keep their previous vector), and (d) not
+    hurt ivf recall vs the unrefined pick."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from vlm_ocr_doc_reader_spark.datapipe.similarity import (
+        brute_force_topk, ivf_topk, refine_centroids)
+
+    # two tight, well-separated 4-d blobs; deterministic coordinates
+    def blob(base, n, off):
+        return [(off + i, [base[j] + 0.01 * ((i * 7 + j) % 5)
+                           for j in range(4)]) for i in range(n)]
+    rows = blob([1.0, 0.0, 0.0, 0.0], 30, 0) + \
+        blob([0.0, 1.0, 0.0, 0.0], 30, 100)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # a deliberately bad init: two centroids from the SAME blob
+    cents0 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.05, 0.0, 0.0])],
+        "cid long, cvec array<double>")
+
+    def cost(cents):
+        got = {r["cid"]: r["cvec"] for r in cents.collect()}
+        tot = 0.0
+        for _id, v in rows:
+            best = min(
+                1 - sum(a * b for a, b in zip(v, c))
+                / (math.sqrt(sum(a * a for a in v))
+                   * math.sqrt(sum(b * b for b in c)))
+                for c in got.values())
+            tot += best
+        return tot
+
+    c1 = refine_centroids(emb, cents0, iters=1)
+    c2 = refine_centroids(emb, cents0, iters=3)
+    assert c1.count() == 2 and c2.count() == 2
+    assert cost(c2) <= cost(c1) + 1e-9 < cost(cents0) + 1e-9
+    # determinism
+    a = sorted(map(tuple, ((r["cid"], tuple(r["cvec"]))
+                           for r in refine_centroids(emb, cents0,
+                                                     iters=2).collect())))
+    b = sorted(map(tuple, ((r["cid"], tuple(r["cvec"]))
+                           for r in refine_centroids(emb, cents0,
+                                                     iters=2).collect())))
+    assert a == b
+
+    # refined ivf recall >= unrefined at equal n_probe
+    exact = {(r["qid"], r["rank"]): r["nbr_id"]
+             for r in brute_force_topk(
+                 emb, emb.select(F.col("vec_id").alias("qid"),
+                                 F.col("embedding").alias("qvec")),
+                 k=1).collect()}
+
+    def recall(df):
+        approx = {(r["qid"], r["rank"]): r["nbr_id"] for r in df.collect()}
+        return sum(approx.get(kk) == v for kk, v in exact.items()) / len(exact)
+
+    r_plain = recall(ivf_topk(emb, n_centroids=4, n_probe=1, k=1))
+    r_ref = recall(ivf_topk(emb, n_centroids=4, n_probe=1, k=1,
+                            refine_iters=2))
+    assert r_ref >= r_plain - 1e-9
+
+
 def test_corpus_report_card_values(spark):
     """dup_rate counts exact normalized dups, en_share reflects lang mix,
     token totals sum — checked on a hand corpus."""
