@@ -29,6 +29,8 @@ def test_keyword_search_and_or(corpus):
         keyword_search(corpus, ["x"], mode="not")
     with pytest.raises(ValueError, match="empty"):
         keyword_search(corpus, [])
+    with pytest.raises(ValueError, match="single tokens"):
+        keyword_search(corpus, ["machine learning"])  # untokenizable
 
 
 def test_inverted_postings_df_bounds(corpus):

@@ -71,6 +71,9 @@ def test_histogram_quantiles_within_one_bin_width(spark):
     bin_width = 1000 / 100
     assert abs(got[0.5] - 500) <= bin_width
     assert abs(got[0.95] - 950) <= bin_width
+    # duplicate quantiles collapse to one row per DISTINCT q (documented)
+    dup = histogram_quantiles(vals, "x", [0.5, 0.5], n_bins=100).collect()
+    assert len(dup) == 1
 
 
 def test_histogram_quantiles_ignores_nulls(spark):

@@ -56,3 +56,6 @@ def test_interval_join_refuses_unknown_how(spark, tmp_path):
     s = spark.readStream.schema(SCHEMA).parquet(p)
     with pytest.raises(ValueError, match="how"):
         stream_stream_join(s, s, ("user_id",), how="full")
+    with pytest.raises(ValueError, match="interval"):
+        stream_stream_join(s, s, ("user_id",), within="5min")  # fail fast,
+    # not a Catalyst ParseException at stream start

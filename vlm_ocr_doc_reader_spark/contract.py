@@ -504,13 +504,19 @@ def q_jaccard(spark, sf_dir):
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
-ORACLE_JACCARD = """
-WITH toks AS (
+# distinct-token CTE body (dedup.tokens' DuckDB twin) with a parameterized
+# doc filter — ONE definition shared by every token-based oracle, so a
+# tokenization tweak cannot silently diverge a subset of the gate
+_DUCK_TOKENS_WHERE = """
   SELECT DISTINCT doc_id AS id, t AS token FROM (
     SELECT doc_id,
            unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
                                                     'g')), ' ')) AS t
-    FROM documents WHERE doc_id < 20) WHERE t <> ''
+    FROM documents WHERE {where}) WHERE t <> ''
+"""
+
+ORACLE_JACCARD = f"""
+WITH toks AS ({_DUCK_TOKENS_WHERE.format(where='doc_id < 20')}
 ), sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
@@ -828,13 +834,8 @@ def q_keyword_search(spark, sf_dir):
     return keyword_search(d, ["spark", "table", "join"], mode="and")
 
 
-ORACLE_KEYWORD = """
-WITH toks AS (
-  SELECT DISTINCT doc_id AS id, t AS token FROM (
-    SELECT doc_id,
-           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                    'g')), ' ')) AS t
-    FROM documents) WHERE t <> ''
+ORACLE_KEYWORD = f"""
+WITH toks AS ({_DUCK_TOKENS_WHERE.format(where='TRUE')}
 )
 SELECT id, count(DISTINCT token) AS n_matched
 FROM toks WHERE token IN ('join', 'spark', 'table')
@@ -856,13 +857,8 @@ def q_inverted_postings(spark, sf_dir):
          .alias("postings"))
 
 
-ORACLE_POSTINGS = """
-WITH toks AS (
-  SELECT DISTINCT doc_id AS id, t AS token FROM (
-    SELECT doc_id,
-           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                    'g')), ' ')) AS t
-    FROM documents WHERE doc_id < 300) WHERE t <> ''
+ORACLE_POSTINGS = f"""
+WITH toks AS ({_DUCK_TOKENS_WHERE.format(where='doc_id < 300')}
 ), counted AS (
   SELECT token, count(*) AS df FROM toks GROUP BY token
   HAVING count(*) >= 2 AND count(*) <= 250
@@ -1821,12 +1817,7 @@ def _oracle_simhash(bits: int = 32, lim: int = 100) -> str:
         f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
         for i in range(bits))
     return f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id AS id, t AS token FROM (
-    SELECT doc_id,
-           unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
-                                                    'g')), ' ')) AS t
-    FROM documents WHERE doc_id < {lim}) WHERE t <> ''
+WITH toks AS ({_DUCK_TOKENS_WHERE.format(where=f'doc_id < {lim}')}
 ), hashed AS (SELECT id, {hexpr} AS hx FROM toks),
 sums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
 SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums

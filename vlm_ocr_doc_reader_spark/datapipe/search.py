@@ -38,6 +38,14 @@ def keyword_search(df: DataFrame, terms: list[str], mode: str = "and",
     want = sorted({t.lower() for t in terms})
     if not want:
         raise ValueError("keyword_search: empty term list")
+    bad = [t for t in want if (not t) or any(ch.isspace() for ch in t)]
+    if bad:
+        # a multi-word/blank "term" can never equal a single normalized
+        # token — silently returning zero hits would read as "no documents
+        # mention X" when the query was untokenizable
+        raise ValueError(
+            f"keyword_search: terms must be single tokens, got {bad!r} "
+            "(split multi-word queries into terms; use mode='and')")
     toks = tokens(df, id_col=id_col, text_col=text_col)
     hits = (toks.filter(F.col("token").isin(want))
             .groupBy("id")
@@ -50,17 +58,34 @@ def keyword_search(df: DataFrame, terms: list[str], mode: str = "and",
 def inverted_postings(df: DataFrame, min_df: int = 1,
                       max_df: int = 10_000,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      persist_intermediate: bool = True) -> DataFrame:
     """Inverted index rows: (token, df, postings array<id> sorted asc) for
     tokens appearing in [min_df, max_df] documents.  The df filter runs on
     the counted aggregate BEFORE list collection (two-phase: count, prune,
     then collect only surviving tokens), so no stopword ever materializes
-    a corpus-sized posting array."""
+    a corpus-sized posting array.
+
+    Plan notes: the pruned (token, df) frame is deliberately NOT
+    broadcast-hinted — on a Zipfian corpus the [min_df, max_df] band is
+    the long TAIL of the vocabulary (most distinct tokens), far beyond
+    broadcast size; AQE still auto-broadcasts it when it is genuinely
+    small.  The token table feeds both the count aggregate and the
+    posting join, so it is persisted (``persist_intermediate``; release
+    via ``datapipe.cache.release_cached(result)``) rather than
+    tokenizing the corpus twice."""
     toks = tokens(df, id_col=id_col, text_col=text_col)
+    cached = []
+    if persist_intermediate:
+        from pyspark import StorageLevel
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = [toks]
     counted = (toks.groupBy("token")
                .agg(F.count("*").alias("df"))
                .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
-    return (toks.join(F.broadcast(counted), "token")
-            .groupBy("token", "df")
-            .agg(F.sort_array(F.collect_list("id")).alias("postings"))
-            .select("token", "df", "postings"))
+    out = (toks.join(counted, "token")
+           .groupBy("token", "df")
+           .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+           .select("token", "df", "postings"))
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, *cached)

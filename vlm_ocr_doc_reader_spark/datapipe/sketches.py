@@ -154,6 +154,9 @@ def histogram_quantiles(df: DataFrame, col: str, qs: list[float],
     shuffles only bin counts — the quantile form that survives unbounded
     group sizes.  Error is bounded by one bin width of the value range."""
     groups = group_cols or []
+    # one output row per DISTINCT quantile (duplicates in qs collapse —
+    # they would be identical rows; sorted for deterministic literal order)
+    qs = sorted({float(q) for q in qs})
     x = F.col(col).cast("double")
     # NULL values are EXCLUDED (documented): binning a null yields a null
     # bin that Spark's ascending window would sort FIRST, silently

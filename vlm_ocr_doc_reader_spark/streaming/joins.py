@@ -36,6 +36,16 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     if how not in ("inner", "left_outer"):
         raise ValueError(f"stream_stream_join: unsupported how={how!r} "
                          "(inner or left_outer)")
+    # fail fast on malformed intervals: F.expr would only raise a Catalyst
+    # ParseException when the stream STARTS, far from the call site
+    import re
+    pat = (r"^\d+\s+(microsecond|millisecond|second|minute|hour|day|week"
+           r"|month|year)s?$")
+    for name, v in (("within", within), ("watermark", watermark)):
+        if not re.match(pat, v.strip(), re.IGNORECASE):
+            raise ValueError(
+                f"stream_stream_join: {name}={v!r} is not a valid "
+                "'<n> <unit>' interval (e.g. '5 minutes')")
     keys = list(key_cols)
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
