@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "event_percentiles", "event_pivot", "curation",
     "kmv_distinct", "cms_counts", "hist_quantiles",
     "decontam_overlap", "lm_score", "pack_sequences", "mixture_sample",
-    "corpus_report", "weighted_sample", "keyword_search",
+    "corpus_report", "weighted_sample", "keyword_search", "robust_outliers",
 ]
 # per-query timing protocol: median of QUERY_RUNS runs, min/max spread
 # published alongside (wall clock on this VM is noisy; a single sample can

@@ -826,6 +826,39 @@ SELECT doc_id, source, n_chars, round(k, 6) AS _wkey FROM (
 """
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD modified z-scores of event value per type, flagged rows
+    only — the heavy-tail-proof anomaly screen."""
+    from .datapipe.outliers import robust_outliers
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type",
+                                              "value")
+    return robust_outliers(ev, "value", group_cols=["event_type"],
+                           flagged_only=True) \
+        .select("event_id", "event_type", "robust_z", "is_outlier")
+
+
+ORACLE_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY e.event_type
+), scored AS (
+  SELECT e.event_id, e.event_type,
+         CASE WHEN d.mad > 0
+              THEN round(0.6745 * (e.value - m.med) / d.mad, 6) END
+           AS robust_z
+  FROM events e JOIN med m USING (event_type)
+                JOIN mad d USING (event_type)
+  WHERE e.value IS NOT NULL
+)
+SELECT event_id, event_type, robust_z, TRUE AS is_outlier
+FROM scored WHERE abs(robust_z) > 3.5
+"""
+
+
 def q_keyword_search(spark, sf_dir):
     """Conjunctive keyword search: docs containing ALL query terms —
     query-term filter FIRST, so cost scales with posting sizes."""
@@ -2465,6 +2498,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "keyword_search": q_keyword_search,
     "inverted_postings": q_inverted_postings,
+    "robust_outliers": q_robust_outliers,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2491,13 +2525,13 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "heavy_hitters": q_heavy_hitters,
     "tfidf": q_tfidf,
-    "det_sample": q_det_sample,
-    "split_assign": q_split_assign,
     # curation stays inside the driver's 50-query window: its composed
     # pipeline touched round-4 code (persist registry, ingest guard), so
-    # it should keep earning fresh official rows; strat_sample (untouched,
-    # r03-green) rotates to the tail in its place
+    # it should keep earning fresh official rows; det_sample/split_assign
+    # (untouched, r03-green) rotate to the tail in its place
     "curation": q_curation,
+    "det_sample": q_det_sample,
+    "split_assign": q_split_assign,
     "strat_sample": q_strat_sample,
     "consistency": q_consistency,
     "extract_flat": q_extract_flat,
@@ -2594,6 +2628,7 @@ ORACLES = {
     "weighted_sample": ORACLE_WSAMPLE,
     "keyword_search": ORACLE_KEYWORD,
     "inverted_postings": ORACLE_POSTINGS,
+    "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),
