@@ -48,7 +48,8 @@ def heavy_hitters(df: DataFrame, k: int = 50, id_col: str = "doc_id",
 
 def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
-                          vocab: DataFrame | None = None) -> DataFrame:
+                          vocab: DataFrame | None = None,
+                          persist_intermediate: bool = True) -> DataFrame:
     """Per-doc mean unigram log-probability — the cheap LM-quality proxy
     (CCNet-style filtering uses a real LM; the unigram model is its exact,
     oracle-able analog): documents full of rare/garbage tokens score low,
@@ -61,19 +62,33 @@ def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
     corpus against itself.  The vocabulary broadcasts (same skew argument
     as ``tfidf_top_terms``: the join key is power-law distributed, the
     (token, count) table is orders of magnitude smaller than the corpus).
+
+    In self-scoring mode the corpus token table feeds BOTH the vocabulary
+    aggregate and the scoring join, so it is persisted
+    (``persist_intermediate``; release the handle via
+    ``datapipe.cache.release_cached(result)``) instead of tokenizing the
+    corpus twice; with an external ``vocab`` it has one consumer and no
+    cut is taken.
     """
     tf = doc_token_counts(df, id_col, text_col)
+    cached = []
     if vocab is None:
+        if persist_intermediate:
+            from pyspark import StorageLevel
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = [tf]
         vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     stats = vocab.agg(F.sum("c").alias("_n"), F.count("*").alias("_v"))
     logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
                  / (F.col("_n") + F.col("_v")))
-    return (tf.join(F.broadcast(vocab), "token", "left")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("id")
-            .agg(F.sum("tf").cast("long").alias("n_tokens"),
-                 F.round((F.sum(F.col("tf") * logp) / F.sum("tf"))
-                         .cast("double"), 6).alias("avg_logprob")))
+    out = (tf.join(F.broadcast(vocab), "token", "left")
+           .crossJoin(F.broadcast(stats))
+           .groupBy("id")
+           .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                F.round((F.sum(F.col("tf") * logp) / F.sum("tf"))
+                        .cast("double"), 6).alias("avg_logprob")))
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, *cached)
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
