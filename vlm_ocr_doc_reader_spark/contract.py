@@ -826,6 +826,36 @@ SELECT doc_id, source, n_chars, round(k, 6) AS _wkey FROM (
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user: each step strictly
+    after the previous step's first occurrence; same-key joins reuse one
+    partitioning."""
+    from .datapipe.funnel import funnel_steps
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS "user", min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id AS "user", min(e.ts) AS t_2
+  FROM events e JOIN s1 ON s1."user" = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id AS "user", min(e.ts) AS t_3
+  FROM events e JOIN s2 ON s2."user" = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY e.user_id
+)
+SELECT s1."user", s1.t_1, s2.t_2, s3.t_3,
+       CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+            WHEN s2.t_2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER)
+         AS reached
+FROM s1 LEFT JOIN s2 USING ("user") LEFT JOIN s3 USING ("user")
+"""
+
+
 def q_robust_outliers(spark, sf_dir):
     """Median/MAD modified z-scores of event value per type, flagged rows
     only — the heavy-tail-proof anomaly screen."""
@@ -2499,6 +2529,7 @@ QUERIES = {
     "keyword_search": q_keyword_search,
     "inverted_postings": q_inverted_postings,
     "robust_outliers": q_robust_outliers,
+    "funnel": q_funnel,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
@@ -2629,6 +2660,7 @@ ORACLES = {
     "keyword_search": ORACLE_KEYWORD,
     "inverted_postings": ORACLE_POSTINGS,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
+    "funnel": ORACLE_FUNNEL,
     "doc_structure": _oracle_doc_structure(),
     "full_description": _oracle_full_description(),
     "pii_redact": _oracle_pii_redact(),
