@@ -430,3 +430,21 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     recall = hits / len(exact)
     assert recall >= 0.5, recall  # probing half the cells on gaussian data
     assert len(approx) == 120
+
+
+def test_cache_registry_safety_net(spark):
+    """A caller who transforms a persisting operator's result loses the
+    per-frame handle attribute; release_all_cached() still frees the
+    persisted intermediate (r4 advice)."""
+    from vlm_ocr_doc_reader_spark.datapipe.cache import (
+        attach_cached_deps, outstanding_cached, release_all_cached)
+    base = spark.range(100).persist()
+    base.count()
+    out = attach_cached_deps(base.selectExpr("id * 2 AS x"), base)
+    lost = out.filter("x > 10")          # attribute does not propagate
+    assert not hasattr(lost, "_cached_deps")
+    assert any(h is base for h in outstanding_cached())
+    released = release_all_cached()
+    assert released >= 1
+    sl = base.storageLevel
+    assert not (sl.useMemory or sl.useDisk)

@@ -42,8 +42,10 @@ def test_time_rollup_reaggregates_consistently(spark):
     days = [r for r in out if r["level"] == "day"]
     assert sum(r["n_events"] for r in hours) == 90
     assert sum(r["n_events"] for r in days) == 90
-    assert abs(sum(r["sum_value"] for r in days)
-               - sum(float(i) for i in range(90))) < 1e-6
+    # sum_value is exact decimal by construction (order-invariant) — the
+    # total over day buckets is exactly the raw total
+    assert sum(float(r["sum_value"]) for r in days) \
+        == sum(float(i) for i in range(90))
     # every day bucket equals the sum of its hour buckets
     from collections import defaultdict
     agg = defaultdict(int)

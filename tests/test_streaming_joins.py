@@ -59,3 +59,8 @@ def test_interval_join_refuses_unknown_how(spark, tmp_path):
     with pytest.raises(ValueError, match="interval"):
         stream_stream_join(s, s, ("user_id",), within="5min")  # fail fast,
     # not a Catalyst ParseException at stream start
+
+    # compound and any-unit intervals are VALID Spark intervals and must
+    # pass validation (r4 advice: the old regex rejected them)
+    for ok in ("1 hour 30 minutes", "90 seconds", "2 days 1 hour"):
+        stream_stream_join(s, s, ("user_id",), within=ok)

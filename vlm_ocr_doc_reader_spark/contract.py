@@ -26,13 +26,57 @@ from .operators.registry import synth_entity_id_col
 from .operators.vote import majority_vote, normalize_for_vote_col
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # small single-row-group gate files plan as ONE split — lift them to
-    # cluster parallelism so narrow compute stages aren't single-threaded
-    # (no-op whenever the input already has enough splits)
-    from .sources.readers import ensure_min_partitions
-    return ensure_min_partitions(
-        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+# Test knob: when set, every load() repartitions to exactly this many
+# partitions, regardless of ``lift`` — the determinism suite runs each
+# float-emitting gate query at several partition counts and asserts
+# identical output (tests/test_determinism.py).
+LOAD_REPARTITION: int | None = None
+
+
+def load(spark: SparkSession, sf_dir: str, name: str,
+         lift: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if LOAD_REPARTITION:
+        return df.repartition(LOAD_REPARTITION)
+    if lift:
+        # Small single-row-group gate files plan as ONE split — lift them
+        # to cluster parallelism so narrow compute stages aren't
+        # single-threaded (no-op whenever the input already has enough
+        # splits).  Opt-in per query: only the compute-dense narrow
+        # pipelines (documents/embeddings per-row kernels) benefit; a query
+        # whose first operator is already a wide exchange gains nothing
+        # and would pay the round-robin shuffle for free (r4 finding).
+        from .sources.readers import ensure_min_partitions
+        df = ensure_min_partitions(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant float aggregation.
+#
+# sum/avg over DOUBLE is partial-sum-order dependent, and the driver hashes
+# round()ed values — a repartition can flip a rounding boundary (the r4
+# time_rollup failure).  Every gate aggregate of a double therefore casts
+# per-row to DECIMAL(18,6) first: the cast is deterministic (no double is an
+# exact midpoint at 6 decimals — 1e-7 is not a dyadic rational), decimal
+# addition is associative (partition count and partial-sum order cannot
+# change the result), and the final round + cast back to double keeps the
+# gate schema stable.  Each oracle mirrors the same shape:
+#   round(sum(CAST(x AS DECIMAL(18,6))), s)::DOUBLE
+# ---------------------------------------------------------------------------
+
+def dsum(col, scale: int = 4):
+    """Order-invariant sum of a double column (see block comment above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
+
+
+def davg(col, scale: int = 6):
+    """Order-invariant mean of a double column: exact decimal sum, then ONE
+    double division + round (deterministic on identical inputs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), scale)
 
 
 # ---------------------------------------------------------------------------
@@ -44,7 +88,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.classify import keep_expr
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", lift=True)
     spans = (docs.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), r"\. ")).alias("offset", "raw")))
@@ -96,17 +140,20 @@ def q_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_price"),
+                 davg("l_discount").alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / count(l_discount), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -144,11 +191,13 @@ def q_dim_join_rollup(spark, sf_dir):
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name")
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+                 dsum("o_totalprice").alias("revenue")))
 
 
 ORACLE_DIM_JOIN = """
-SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+SELECT r_name, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -316,7 +365,7 @@ FROM tot t LEFT JOIN win w USING (user_id)
 
 def q_entity_id(spark, sf_dir):
     """F4: entity-id synthesis scan_{page}_{sha256(prompt)[:8]}."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return (d.withColumn("page_num", (F.col("doc_id") % 50 + 1).cast("int"))
             .withColumn("prompt", F.col("text"))
             .select("doc_id", synth_entity_id_col().alias("entity_id")))
@@ -332,7 +381,7 @@ FROM documents
 
 def q_normalize_vote(spark, sf_dir):
     """F7: vote normalization over document text."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return d.select("doc_id",
                     normalize_for_vote_col(F.col("text")).alias("norm"))
 
@@ -487,7 +536,7 @@ FROM lineitem WHERE l_linenumber BETWEEN 1 AND 5
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return exact_duplicates(d)
 
 
@@ -499,7 +548,7 @@ FROM documents GROUP BY 1
 
 
 def q_jaccard(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 20)
     return (jaccard_pairs(d, k=1)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
@@ -547,7 +596,7 @@ _DUCK_SHINGLES3 = _DUCK_SHINGLES3_WHERE.format(alias="id",
 
 
 def q_minhash_sig(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 20)
     return minhash_signatures(d, n_hashes=8, k=3)
 
 
@@ -564,7 +613,7 @@ def q_minhash_pairs(spark, sf_dir):
     """Candidate pairs via the fused narrow bucketing (zero-shuffle hash
     computation; the exploded signatures+bands formulation is the oracle)."""
     from .datapipe.dedup import minhash_band_buckets
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 200)
     return minhash_candidate_pairs(
         minhash_band_buckets(d, n_hashes=8, rows_per_band=2, k=3))
 
@@ -589,7 +638,7 @@ FROM b a JOIN b c USING (band_idx, band_hash) WHERE a.id < c.id
 
 
 def q_cosine_topk(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", lift=True)
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qvec")))
@@ -617,7 +666,7 @@ def q_near_dup(spark, sf_dir):
     (explicit exact=True opt-in, blocked by id range); the scale path is the
     separate `near_dup_lsh` entry."""
     from .datapipe.similarity import embedding_near_dups
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    e = load(spark, sf_dir, "embeddings", lift=True).filter(F.col("vec_id") < 150)
     return embedding_near_dups(e, threshold=0.35, exact=True)
 
 
@@ -634,7 +683,7 @@ WHERE a.vec_id < 150 AND b.vec_id < 150
 
 
 def q_quality(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return quality_features(d).select(
         "doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
         "quality_score")
@@ -672,7 +721,7 @@ FROM f
 
 
 def q_lang_id(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return lang_id(d).select("doc_id", "pred_lang")
 
 
@@ -724,7 +773,7 @@ SELECT doc_id, {_lang_id_case_sql()} AS pred_lang FROM h
 
 
 def q_token_counts(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return d.select(
         "doc_id",
         token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
@@ -758,7 +807,7 @@ def q_decontam_overlap(spark, sf_dir):
     with the train slice (n=3 here so the synthetic corpus produces hits;
     production uses n=13).  Boilerplate-shingle cap exercised at 1000."""
     from .datapipe.dedup import ngram_overlap
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     train = d.filter(F.col("doc_id") < 150)
     test = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
     return ngram_overlap(train, test, n=3, max_train_df=1000)
@@ -783,7 +832,7 @@ def q_lm_score(spark, sf_dir):
     corpus's own unigram distribution — junk scores low, common-vocabulary
     prose scores high; vocabulary broadcasts."""
     from .datapipe.terms import unigram_logprob_score
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 300)
     return unigram_logprob_score(d)
 
 
@@ -798,7 +847,8 @@ WITH tf AS (
 ), vocab AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
 stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
 SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(sum(tf * ln((coalesce(c, 0) + 1.0) / (n + v))) / sum(tf), 6)
+       round(CAST(sum(CAST(tf * ln((coalesce(c, 0) + 1.0) / (n + v))
+                          AS DECIMAL(20,8))) AS DOUBLE) / sum(tf), 6)
          AS avg_logprob
 FROM tf LEFT JOIN vocab USING (token) CROSS JOIN stats
 GROUP BY id
@@ -809,7 +859,7 @@ def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample: 100 docs weighted by length —
     exponential-race keys, top-k via TakeOrderedAndProject."""
     from .datapipe.sampling import weighted_sample_topk
-    d = load(spark, sf_dir, "documents").select("doc_id", "source",
+    d = load(spark, sf_dir, "documents", lift=True).select("doc_id", "source",
                                                 "n_chars")
     return weighted_sample_topk(d, k=100, weight_col="n_chars")
 
@@ -893,7 +943,7 @@ def q_keyword_search(spark, sf_dir):
     """Conjunctive keyword search: docs containing ALL query terms —
     query-term filter FIRST, so cost scales with posting sizes."""
     from .datapipe.search import keyword_search
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return keyword_search(d, ["spark", "table", "join"], mode="and")
 
 
@@ -911,7 +961,7 @@ def q_inverted_postings(spark, sf_dir):
     pruning keeps every collect_list buffer bounded); postings serialized
     to a comma string for the gate compare."""
     from .datapipe.search import inverted_postings
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 300)
     idx = inverted_postings(d, min_df=2, max_df=250)
     return idx.select(
         "token", "df",
@@ -937,7 +987,7 @@ def q_corpus_report(spark, sf_dir):
     """Per-source data card: volume/quality/language/duplication in one
     hash aggregate over the already-oracled per-doc operators."""
     from .datapipe.report import corpus_report
-    return corpus_report(load(spark, sf_dir, "documents"))
+    return corpus_report(load(spark, sf_dir, "documents", lift=True))
 
 
 def _oracle_corpus_report() -> str:
@@ -952,7 +1002,8 @@ dg AS (SELECT doc_id, source,
 SELECT dg.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(qf.n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(qf.quality_score), 6) AS mean_quality,
+       round(CAST(sum(CAST(qf.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / count(qf.quality_score), 6) AS mean_quality,
        round(avg(CASE WHEN l.pred_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
          AS en_share,
        CAST(count(DISTINCT dg.digest) AS BIGINT) AS n_unique,
@@ -969,7 +1020,7 @@ def q_pack_sequences(spark, sf_dir):
     streams, contiguous greedy packing into 512-token sequences via one
     per-stream cumulative window — each stream is an independent shard."""
     from .datapipe.assembly import pack_sequences
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 500)
     return pack_sequences(d, token_budget=512, n_streams=8, seed=0)
 
 
@@ -1029,7 +1080,7 @@ def q_heavy_hitters(spark, sf_dir):
     """Corpus-wide top-50 tokens: partial-agg counting + top-k via
     TakeOrderedAndProject (never a global sort)."""
     from .datapipe.terms import heavy_hitters
-    return heavy_hitters(load(spark, sf_dir, "documents"), k=50)
+    return heavy_hitters(load(spark, sf_dir, "documents", lift=True), k=50)
 
 
 ORACLE_HEAVY_HITTERS = f"""
@@ -1043,7 +1094,7 @@ FROM tf GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 50
 def q_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per doc (smoothed idf, deterministic ties)."""
     from .datapipe.terms import tfidf_top_terms
-    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+    return tfidf_top_terms(load(spark, sf_dir, "documents", lift=True), k=3)
 
 
 ORACLE_TFIDF = f"""
@@ -1078,7 +1129,7 @@ def q_det_sample(spark, sf_dir):
     """Deterministic 25% sample keyed on md5(doc_id): reproducible across
     runs/engines/partitionings (df.sample is none of those); zero shuffle."""
     from .datapipe.sampling import deterministic_sample
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return deterministic_sample(d, 0.25).select("doc_id")
 
 
@@ -1093,7 +1144,7 @@ def q_strat_sample(spark, sf_dir):
     """Stratified rebalancing sample: keep all zh docs, 20% of en, 50% of
     everything else — the language-rebalance pattern at corpus scale."""
     from .datapipe.sampling import stratified_sample
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return stratified_sample(d, {"en": 0.2, "zh": 1.0}, "lang",
                              default_fraction=0.5) \
         .select("doc_id", "lang")
@@ -1114,7 +1165,7 @@ def q_split_assign(spark, sf_dir):
     """80/10/10 train/val/test assignment from the id hash draw — every doc
     in exactly one split, stable forever, disjoint salt from sampling."""
     from .datapipe.sampling import assign_splits
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1}) \
         .select("doc_id", "split")
 
@@ -1141,7 +1192,7 @@ def q_curation(spark, sf_dir):
     (greedy keep-smallest-id) -> train/val/test assignment.  Every stage is
     an already-gated operator; this entry gates their COMPOSITION."""
     from .datapipe.curate import curate_corpus
-    return curate_corpus(load(spark, sf_dir, "documents"))
+    return curate_corpus(load(spark, sf_dir, "documents", lift=True))
 
 
 def _oracle_curation(min_quality: float = 0.55, lang: str = "en",
@@ -1232,7 +1283,7 @@ FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 
 def q_fingerprint(spark, sf_dir):
     from .datapipe.textstats import fingerprint
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     return fingerprint(d)
 
 
@@ -1310,7 +1361,8 @@ def q_windowed_counts(spark, sf_dir):
 ORACLE_WINDOWED = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
        event_type, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1325,7 +1377,7 @@ def q_sessionize(spark, sf_dir):
             .agg(F.unix_timestamp(F.min("ts")).alias("start_epoch"),
                  F.unix_timestamp(F.max("ts")).alias("end_epoch"),
                  F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+                 dsum("value").alias("sum_value")))
 
 
 ORACLE_SESSIONIZE = """
@@ -1345,7 +1397,9 @@ WITH o AS (
 SELECT user_id, session_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_value
 FROM s GROUP BY 1, 2
 """
 
@@ -1516,16 +1570,20 @@ def q_time_rollup(spark, sf_dir):
     from .datapipe.sessions import time_rollup
     ev = load(spark, sf_dir, "events")
     out = time_rollup(ev, levels=("hour", "day"))
+    # sum_value arrives as exact decimal (order-invariant by construction,
+    # see datapipe/sessions.py) — round + cast to double only for display
     return out.select("level",
                       F.unix_timestamp("bucket").alias("bucket_epoch"),
                       "key", "n_events",
-                      F.round("sum_value", 4).alias("sum_value"))
+                      F.round("sum_value", 4).cast("double")
+                       .alias("sum_value"))
 
 
 ORACLE_TIME_ROLLUP = """
 WITH h AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type AS key,
-         count(*) AS n_events, sum(value) AS sum_value
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,6))) AS sum_value
   FROM events GROUP BY 1, 2
 ), d AS (
   SELECT date_trunc('day', bucket) AS bucket, key,
@@ -1533,10 +1591,11 @@ WITH h AS (
   FROM h GROUP BY 1, 2
 )
 SELECT 'hour' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_epoch,
-       key, n_events, round(sum_value, 4) AS sum_value FROM h
+       key, n_events,
+       CAST(round(sum_value, 4) AS DOUBLE) AS sum_value FROM h
 UNION ALL
 SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), key, n_events,
-       round(sum_value, 4) FROM d
+       CAST(round(sum_value, 4) AS DOUBLE) FROM d
 """
 
 
@@ -1548,7 +1607,7 @@ def q_rollup_cube(spark, sf_dir):
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.grouping_id().cast("int").alias("gid"),
                  F.count("*").alias("n"),
-                 F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+                 dsum("l_quantity").alias("sum_qty"))
             .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
 
 
@@ -1556,7 +1615,9 @@ ORACLE_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
          AS gid,
-       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+       count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -1606,7 +1667,7 @@ FROM j
 def q_fence_strip(spark, sf_dir):
     """F1: JSON-fence stripping (scan.py:70-76)."""
     from .functions.normalize import strip_json_fence_col
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     fenced = F.concat(F.lit("```json\n"), F.col("text"), F.lit("\n```"))
     return d.select("doc_id",
                     strip_json_fence_col(fenced).alias("inner_text"))
@@ -1630,7 +1691,7 @@ FROM documents
 
 def _derived_spans(spark, sf_dir):
     """Span table derived from the flat driver documents table."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", lift=True)
     return (docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
          .alias("doc_id"),
@@ -1679,7 +1740,7 @@ def _derived_spans_structured(spark, sf_dir):
     # raw numeric id kept under a distinct name: the output aliases
     # 'doc_id' to the string form, and a lambda's outer reference would
     # otherwise resolve laterally against that alias
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents", lift=True).select(
         F.col("doc_id").alias("raw_id"), "text")
     hashes = F.repeat(F.lit("#"), (F.col("raw_id") % 5 + 1).cast("int"))
     is_h = (lambda i: (i % 7 == 3)
@@ -1789,7 +1850,7 @@ def q_pii_redact(spark, sf_dir):
     input synthesizes deterministic PII per doc so every row exercises all
     three detectors."""
     from .datapipe.scrub import redact_pii
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     t = F.concat(
         F.col("text"), F.lit(" Contact user"),
         F.col("doc_id").cast("string"),
@@ -1837,7 +1898,7 @@ def q_repetition(spark, sf_dir):
     """Gopher-style repetition stats; the text is self-concatenated so the
     duplicate-token detectors always have work."""
     from .datapipe.scrub import repetition_stats
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", lift=True)
     t = F.concat_ws(" ", F.col("text"), F.col("text"))
     return repetition_stats(d.select("doc_id", t.alias("text")))
 
@@ -1865,7 +1926,7 @@ FROM documents d LEFT JOIN s USING (doc_id)
 
 
 def q_simhash(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 100)
     return simhash(d)
 
 
@@ -1891,7 +1952,7 @@ def _levels_docs(spark, sf_dir, lim: int = 200):
     """documents -> (doc_id, spans) with a deterministic >=6-digit
     identifier injected so scan finds targets (shared by the levels gate
     queries)."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < lim)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < lim)
     d = d.withColumn("text", F.concat(
         F.col("text"), F.lit(" contract number "),
         (F.col("doc_id") + 7700000000).cast("string"), F.lit(" filed.")))
@@ -2090,7 +2151,7 @@ def q_lsh_topk(spark, sf_dir):
     """SRP-LSH bucketed ANN (scale path) with an exact DuckDB oracle over
     the same seeded hyperplanes."""
     from .datapipe.similarity import lsh_topk
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", lift=True)
     return lsh_topk(e, _PLANES_LSH, k=3)
 
 
@@ -2125,7 +2186,7 @@ def q_lsh_topk_multiband(spark, sf_dir):
     sets — the recall knob that keeps per-band buckets small (and under the
     degenerate-bucket cap) as the corpus grows."""
     from .datapipe.similarity import lsh_topk_multiband
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", lift=True)
     return lsh_topk_multiband(e, _PLANE_BANDS, k=3)
 
 
@@ -2161,7 +2222,7 @@ def q_ivf_topk(spark, sf_dir):
     """IVF-cell ANN with n_probe re-rank; deterministic md5-seeded centroid
     sample makes the whole operator SQL-expressible."""
     from .datapipe.similarity import ivf_topk
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", lift=True)
     return ivf_topk(e, n_centroids=16, n_probe=4, k=3)
 
 
@@ -2197,7 +2258,7 @@ def q_near_dup_lsh(spark, sf_dir):
     """SRP-bucketed near-duplicate pairs — the 100-TB default path of
     embedding_near_dups, gated exactly via the seeded planes."""
     from .datapipe.similarity import embedding_near_dups
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", lift=True)
     return embedding_near_dups(e, threshold=0.3, planes=_PLANES_NEARDUP)
 
 
@@ -2226,7 +2287,7 @@ def q_dedup_pipeline(spark, sf_dir):
     candidate pairs, exact shingle Jaccard disposes — the candidate pruning
     reaches the token join (no all-pairs stage anywhere)."""
     from .datapipe.dedup import minhash_band_buckets
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 200)
     cand = minhash_candidate_pairs(
         minhash_band_buckets(d, n_hashes=8, rows_per_band=2, k=3))
     return (jaccard_pairs(d, candidates=cand, k=3)
@@ -2270,7 +2331,7 @@ def q_dup_components(spark, sf_dir):
     policy (one keeper per component) next to curation's documented greedy
     rule; the oracle computes the same closure with a recursive CTE."""
     from .datapipe.dedup import duplicate_clusters
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 200)
     return duplicate_clusters(d, threshold=0.3, n_hashes=8,
                               rows_per_band=2, k=3)
 
@@ -2428,7 +2489,7 @@ FROM pick WHERE rn = 1
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: documents' text bytes as fake payloads."""
     from .datapipe.multimodal import extract_media_features
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 100)
     media = d.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
          .alias("doc_id"),

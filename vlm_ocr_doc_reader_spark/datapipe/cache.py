@@ -16,14 +16,25 @@ accumulate cached partitions forever.  Convention:
 The attribute does not survive further DataFrame transformations (Spark
 returns new objects), so compositions must propagate handles explicitly —
 which the in-package compositions (curate_corpus, decontaminate,
-full_description) do.
+full_description) do.  Because a caller can silently lose the attribute
+(``curate_corpus(...).filter(...)``), every attached handle is ALSO
+tracked in a module-level registry: ``release_all_cached()`` frees
+everything still outstanding, and ``outstanding_cached()`` reports leaks
+(both useful at the end of a batch job or in tests).
 """
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_cached_deps"
+
+# every handle ever attached, weakly — lets a caller who transformed the
+# result frame (losing the attribute) still clean up, and lets tests
+# assert nothing leaked
+_REGISTRY: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
 
 
 def attach_cached_deps(df: DataFrame, *deps) -> DataFrame:
@@ -39,7 +50,38 @@ def attach_cached_deps(df: DataFrame, *deps) -> DataFrame:
                 handles.append(d)  # only actually-persisted frames
     if handles:
         setattr(df, _ATTR, handles)
+        _REGISTRY.update(handles)
     return df
+
+
+def outstanding_cached() -> list[DataFrame]:
+    """Handles attached by package operators that are still persisted —
+    a non-empty result after a batch completes means some caller dropped
+    the handle convention (e.g. transformed the result frame before
+    releasing)."""
+    out = []
+    for h in _REGISTRY:
+        try:
+            sl = h.storageLevel
+            if sl.useMemory or sl.useDisk or sl.useOffHeap:
+                out.append(h)
+        except Exception:
+            pass
+    return out
+
+
+def release_all_cached() -> int:
+    """Unpersist every outstanding registered handle (safety net for
+    callers who lost the per-frame attribute); returns how many were
+    released."""
+    n = 0
+    for h in outstanding_cached():
+        try:
+            h.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def release_cached(df: DataFrame) -> None:

@@ -58,20 +58,27 @@ def funnel_report(events: DataFrame, steps: list[str],
     funnel reached AT LEAST each step, with conversion relative to step 1.
     The tiny k-row report aggregates the per-user frame once."""
     f = funnel_steps(events, steps, user_col, type_col, ts_col)
-    counts = (f.groupBy("reached").agg(F.count("*").alias("n"))
-              .filter(F.col("reached") >= 1))
-    # cumulative "at least step i" over at most k distinct rows
-    rows = None
-    for i, name in enumerate(steps, start=1):
-        n_i = (counts.filter(F.col("reached") >= i)
-               .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
-               .select(F.lit(i).alias("step"),
-                       F.lit(name).alias("step_name"), "n_users"))
-        rows = n_i if rows is None else rows.unionByName(n_i)
-    first = rows.filter(F.col("step") == 1) \
-        .select(F.col("n_users").alias("_n1"))
-    return (rows.crossJoin(F.broadcast(first))
-            .select("step", "step_name", "n_users",
-                    F.round(F.when(F.col("_n1") > 0,
-                                   F.col("n_users") / F.col("_n1"))
-                            .otherwise(F.lit(0.0)), 6).alias("conversion")))
+    # ONE job computes the whole per-user funnel; the result of the
+    # groupBy is at most len(steps) rows, so the cumulative "reached at
+    # least step i" report is assembled driver-side from that tiny
+    # aggregate instead of re-running the join-aggregate chain once per
+    # step (which Catalyst would do — the counts frame is unpersisted, so
+    # each .filter lineage re-executed the funnel; r4 advice)
+    by_step = {int(r["reached"]): int(r["n"])
+               for r in (f.groupBy("reached").agg(F.count("*").alias("n"))
+                         .filter(F.col("reached") >= 1).collect())}
+    cum, total = {}, 0
+    for i in range(len(steps), 0, -1):
+        total += by_step.get(i, 0)
+        cum[i] = total
+    spark = events.sparkSession
+    rows = [(i, name, cum[i]) for i, name in enumerate(steps, start=1)]
+    rep = spark.createDataFrame(
+        rows, "step int, step_name string, n_users bigint")
+    n1 = cum[1]
+    # conversion rounded Spark-side (HALF_UP) so the formatting rule stays
+    # identical to the DuckDB oracle — Python's round() is banker's
+    return rep.select(
+        "step", "step_name", "n_users",
+        F.round(F.col("n_users") / F.lit(n1), 6).alias("conversion")
+        if n1 > 0 else F.lit(0.0).alias("conversion"))

@@ -30,10 +30,17 @@ def corpus_report(docs: DataFrame, source_col: str = "source",
     ql = lang_id(q, text_col=text_col)
     d = ql.withColumn("_digest", F.md5(_norm(F.col(text_col))))
     n_uniq = F.countDistinct("_digest")
+    # quality_score is a fractional double: avg() over it is partial-sum-
+    # order dependent, so accumulate exactly in decimal and divide once
+    # (en_share / mean_chars average 0/1 and integer values — those sums
+    # are exact in double at any order, no cast needed)
+    mean_quality = F.round(
+        F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+        / F.count("quality_score"), 6)
     return (d.groupBy(source_col)
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("total_tokens"),
-                 F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+                 mean_quality.alias("mean_quality"),
                  F.round(F.avg((F.col("pred_lang") == "en")
                                .cast("double")), 6).alias("en_share"),
                  n_uniq.cast("long").alias("n_unique"),

@@ -57,13 +57,22 @@ def time_rollup(events: DataFrame, levels: tuple[str, ...] = ("hour", "day"),
 
     Output: (level, bucket timestamp, key, n_events, sum_value), one row
     per bucket per key per level.  At 100 TB the raw scan happens once and
-    each rollup shuffles only the (tiny) previous level."""
+    each rollup shuffles only the (tiny) previous level.
+
+    Determinism: the value column is cast per-row to DECIMAL(18,6) before
+    the first aggregation, so every level's sum is EXACT decimal
+    arithmetic — associative, hence invariant to partition count and
+    partial-sum order.  A double sum here is order-dependent, and the
+    two-level sums-of-sums amplified that into the round-4 driver hash
+    mismatch (CORRECTNESS_r04 time_rollup); ``sum_value`` is therefore
+    decimal — cast to double downstream if a float schema is needed."""
     finest = levels[0]
     cur = (events.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("bucket"),
         F.col(key_col).alias("key"))
         .agg(F.count("*").alias("n_events"),
-             F.sum(value_col).alias("sum_value"))
+             F.sum(F.col(value_col).cast("decimal(18,6)"))
+              .alias("sum_value"))
         .withColumn("level", F.lit(finest)))
     out = cur
     for lv in levels[1:]:

@@ -282,7 +282,11 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
     # ascending struct sort on (-cos, cid), keep the n_probe best cells
     def _cell_score(c):
         cos = _dot(vd, c["cvec"]) / (F.col("vnorm") * c["cnorm"])
-        return F.struct((-cos).alias("ncos"), c["cid"].alias("cid"))
+        # a zero-norm vector/centroid scores null; array_sort is ASC =
+        # NULLS FIRST, which would hand degenerate rows the BEST cell —
+        # pin them LAST (+inf) to keep the old desc-window semantics
+        ncos = F.coalesce(-cos, F.lit(float("inf")))
+        return F.struct(ncos.alias("ncos"), c["cid"].alias("cid"))
 
     tagged = (e.join(F.broadcast(cent_arr))
               .withColumn("vnorm", _norm2(vd))

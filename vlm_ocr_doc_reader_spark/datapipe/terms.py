@@ -81,12 +81,18 @@ def unigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
     stats = vocab.agg(F.sum("c").alias("_n"), F.count("*").alias("_v"))
     logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
                  / (F.col("_n") + F.col("_v")))
+    # the per-term contribution tf*logp is a double; summing doubles is
+    # partial-sum-order dependent, so accumulate in exact decimal (the
+    # per-row cast is deterministic, decimal addition associative) and do
+    # ONE double division at the end — the score is then invariant to
+    # partitioning, and the DuckDB oracle mirrors the identical casts
     out = (tf.join(F.broadcast(vocab), "token", "left")
            .crossJoin(F.broadcast(stats))
            .groupBy("id")
            .agg(F.sum("tf").cast("long").alias("n_tokens"),
-                F.round((F.sum(F.col("tf") * logp) / F.sum("tf"))
-                        .cast("double"), 6).alias("avg_logprob")))
+                F.round(F.sum((F.col("tf") * logp).cast("decimal(20,8)"))
+                         .cast("double") / F.sum("tf"), 6)
+                 .alias("avg_logprob")))
     from .cache import attach_cached_deps
     return attach_cached_deps(out, *cached)
 

@@ -51,10 +51,15 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     on inputs small enough for it to be trivial."""
     spark = df.sparkSession
     n = n or spark.sparkContext.defaultParallelism
-    # ._jdf.rdd() is a plan-metadata peek (no job, nothing computed); this
-    # is not an .rdd compute path
-    if df._jdf.rdd().getNumPartitions() >= n:
-        return df
+    # .rdd.getNumPartitions() is a plan-metadata peek (no job, nothing is
+    # computed); public API so it survives Spark Connect / JVM-internal
+    # changes.  If the peek isn't available at all, repartition
+    # unconditionally — correct either way, just skips the no-op shortcut.
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass
     return df.repartition(n)
 
 

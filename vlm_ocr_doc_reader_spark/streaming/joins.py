@@ -39,13 +39,18 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     # fail fast on malformed intervals: F.expr would only raise a Catalyst
     # ParseException when the stream STARTS, far from the call site
     import re
-    pat = (r"^\d+\s+(microsecond|millisecond|second|minute|hour|day|week"
-           r"|month|year)s?$")
+    unit = (r"\d+\s+(microsecond|millisecond|second|minute|hour|day|week"
+            r"|month|year)s?")
+    # one or more '<n> <unit>' groups — Spark accepts compound intervals
+    # ('1 hour 30 minutes') and any-unit counts ('90 seconds'); reject
+    # only what INTERVAL parsing would reject, not valid configurations
+    pat = rf"^{unit}(\s+{unit})*$"
     for name, v in (("within", within), ("watermark", watermark)):
         if not re.match(pat, v.strip(), re.IGNORECASE):
             raise ValueError(
                 f"stream_stream_join: {name}={v!r} is not a valid "
-                "'<n> <unit>' interval (e.g. '5 minutes')")
+                "'<n> <unit> [<n> <unit> ...]' interval "
+                "(e.g. '5 minutes', '1 hour 30 minutes')")
     keys = list(key_cols)
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)

@@ -33,8 +33,11 @@ def windowed_event_counts(events: DataFrame,
         src = events.withWatermark("ts", late_threshold)
     return (src
             .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+            # exact decimal accumulation: partition order (and micro-batch
+            # boundaries in the streaming run) cannot move a rounding edge
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                  .cast("double").alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "sum_value"))
 
