@@ -47,10 +47,14 @@ BENCH_QUERIES = [
     "decontam_overlap", "lm_score", "pack_sequences", "mixture_sample",
     "corpus_report", "weighted_sample", "keyword_search", "robust_outliers",
 ]
-# per-query timing protocol: median of QUERY_RUNS runs, min/max spread
-# published alongside (wall clock on this VM is noisy; a single sample can
-# mislead a round-over-round comparison by 2x)
-QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3"))
+# per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
+# query list (pass 1 runs every query once, then pass 2, ...), published
+# number = min per query, medians + spread alongside.  Back-to-back runs
+# of one query let a host-steal phase on this VM land on ALL of that
+# query's samples and masquerade as a regression (r4: lsh_topk_multiband
+# median doubled on one 16.5s outlier); interleaving spreads the drift
+# across the whole list, the same protocol the scaling levels use.
+QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "4"))
 
 
 def corpus_path() -> str:
@@ -254,18 +258,28 @@ def main() -> None:
                       extra_conf={"spark.ui.enabled": "false"})
     try:
         from vlm_ocr_doc_reader_spark.contract import QUERIES
-        spread: dict[str, list[float]] = {}
-        for name in BENCH_QUERIES:
-            times = []
-            for _ in range(QUERY_RUNS):
+        from vlm_ocr_doc_reader_spark.datapipe.cache import \
+            release_all_cached
+        all_times: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+        for _ in range(QUERY_RUNS):          # interleaved passes
+            for name in BENCH_QUERIES:
                 t0 = time.time()
                 QUERIES[name](spark, SF_DIR).write.format("noop") \
                     .mode("overwrite").save()
-                times.append(time.time() - t0)
-            times.sort()
-            timings[name] = round(times[len(times) // 2], 3)  # median
-            spread[name] = [round(times[0], 3), round(times[-1], 3)]
+                all_times[name].append(time.time() - t0)
+                # persisting operators (curation, full_description) attach
+                # handles; free them so pass k+1 measures the same work
+                release_all_cached()
+        import statistics as _st
+        medians: dict[str, float] = {}
+        spread: dict[str, list[float]] = {}
+        for name, times in all_times.items():
+            timings[name] = round(min(times), 3)   # published number
+            medians[name] = round(_st.median(times), 3)
+            spread[name] = [round(t, 3) for t in sorted(times)]
         extras["query_runs"] = QUERY_RUNS
+        extras["query_protocol"] = "interleaved_min"
+        extras["query_medians"] = medians
         extras["query_spread"] = spread
 
         # verify's sample fan-out is one corpus scan regardless of the axis
@@ -312,6 +326,39 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # first complete JSON line it finds there; the full dump above has
+    # outgrown that window (BENCH_r03/r04 recorded parsed: null and a
+    # front-truncated medians dict).  Emit a compact, schema-complete line
+    # LAST so a complete record always sits inside the tail window; the
+    # full dump is preserved in BENCH_full.json and BENCH.md.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "bench_total_sec": total,
+        "query_runs": extras.get("query_runs"),
+        "query_protocol": extras.get("query_protocol"),
+    }
+    if DO_SCALING:
+        s = extras["scaling"]
+        compact["efficiency"] = s["efficiency"]
+        compact["speedup"] = s["speedup"]
+        compact["headline_level"] = extras.get("headline_level")
+        compact["docs_per_sec_median"] = extras.get("docs_per_sec_median")
+    line = json.dumps(compact)
+    if len(line) > 1800:  # keep the guaranteed-parseable line in-window
+        worst = sorted(timings, key=timings.get, reverse=True)[:25]
+        compact["queries"] = {k: round(timings[k], 2) for k in worst}
+        compact["queries_truncated_to_slowest"] = len(worst)
+        line = json.dumps(compact)
+    print(line)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
     if DO_SCALING:
         _write_bench_md(result)
 
@@ -367,16 +414,19 @@ def _write_bench_md(r: dict) -> None:
         "dependency (the fused plan is a zero-shuffle map), so executor "
         "counts on a real cluster scale it by construction.",
         "",
-        "## Contract query timings (" + r["sf"] + ", median of "
-        + str(r.get("query_runs", 1)) + " runs, [min..max] spread)",
+        "## Contract query timings (" + r["sf"] + ", min over "
+        + str(r.get("query_runs", 1)) + " INTERLEAVED passes; median and "
+        "sorted per-pass times alongside)",
         "",
-        "| query | sec (median) | spread |", "|---|---|---|",
+        "| query | sec (min) | sec (median) | per-pass (sorted) |",
+        "|---|---|---|---|",
     ]
     sp = r.get("query_spread", {})
+    meds = r.get("query_medians", {})
     for q, t in r["queries"].items():
         s = sp.get(q)
-        lines.append(f"| {q} | {t} | "
-                     f"{'[' + str(s[0]) + '..' + str(s[1]) + ']' if s else '—'} |")
+        lines.append(f"| {q} | {t} | {meds.get(q, '—')} | "
+                     f"{s if s else '—'} |")
     if "levels_verify_axes2" in r["queries"]:
         lines += ["",
                   "`levels_verify_axes2` vs `levels_verify_axes8`: verify "

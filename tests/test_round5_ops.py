@@ -1,0 +1,165 @@
+"""Round-5 operators: BM25 retrieval, per-group caps, rolling features,
+decayed aggregates, SCD-2 history, containment, winsorized stats, bigram
+PMI, BPE pair counts — behavioral tests on controlled inputs (the DuckDB
+gate covers oracle equality; these pin the semantics a user relies on).
+"""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from vlm_ocr_doc_reader_spark.datapipe.dedup import containment_pairs
+from vlm_ocr_doc_reader_spark.datapipe.history import scd2_history
+from vlm_ocr_doc_reader_spark.datapipe.outliers import winsorized_stats
+from vlm_ocr_doc_reader_spark.datapipe.sampling import cap_per_group
+from vlm_ocr_doc_reader_spark.datapipe.search import bm25_search
+from vlm_ocr_doc_reader_spark.datapipe.sessions import (decayed_sum,
+                                                        rolling_stats)
+from vlm_ocr_doc_reader_spark.datapipe.terms import (bigram_pmi,
+                                                     bpe_pair_counts)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+
+
+def test_bm25_ranks_full_match_first(spark):
+    d = _docs(spark, [
+        (1, "alpha beta gamma"),              # all three query terms
+        (2, "alpha beta filler filler"),      # two
+        (3, "alpha filler filler filler"),    # one
+        (4, "filler junk nothing here"),      # zero -> absent
+    ])
+    out = bm25_search(d, ["alpha", "beta", "gamma"], k=10).collect()
+    ids = [r["id"] for r in out]
+    assert ids[0] == 1
+    assert 4 not in ids
+    assert [r["n_matched"] for r in out if r["id"] == 1] == [3]
+    scores = {r["id"]: r["score"] for r in out}
+    assert scores[1] > scores[2] > scores[3]
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    rows = [(i, "common filler") for i in range(1, 9)]
+    rows += [(9, "common rare")]
+    out = bm25_search(_docs(spark, rows), ["common", "rare"], k=10).collect()
+    best = max(out, key=lambda r: r["score"])
+    assert best["id"] == 9  # the doc holding the rare term wins
+
+
+def test_cap_per_group_caps_and_is_repartition_stable(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, cap=10, group_col="source")
+    counts = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               cap_per_group(df.repartition(7), cap=10,
+                             group_col="source").collect())
+    assert a == b  # hash order, not partition order
+
+
+def test_cap_per_group_passes_small_groups_through(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               "doc_id long, source string")
+    assert cap_per_group(df, cap=10, group_col="source").count() == 3
+
+
+def test_rolling_stats_hand_computed(spark):
+    ev = _events(spark, [
+        (i, 1, datetime(2024, 1, 1, 0, i), "e", float(i)) for i in range(6)])
+    out = {r["event_id"]: r for r in rolling_stats(ev, n=3).collect()}
+    assert out[0]["n_window"] == 1 and out[0]["rolling_mean"] == 0.0
+    assert out[2]["n_window"] == 3 and out[2]["rolling_mean"] == 1.0
+    # event 5 window = values {3,4,5}
+    assert out[5]["n_window"] == 3
+    assert out[5]["rolling_mean"] == 4.0
+    assert out[5]["rolling_max"] == 5.0
+
+
+def test_decayed_sum_halves_per_half_life(spark):
+    anchor = "2024-01-02 00:00:00"
+    ev = _events(spark, [
+        (1, 1, datetime(2024, 1, 2, 0, 0), "e", 8.0),    # age 0h -> 8
+        (2, 1, datetime(2024, 1, 1, 0, 0), "e", 8.0),    # age 24h -> 4
+        (3, 1, datetime(2023, 12, 31, 0, 0), "e", 8.0),  # age 48h -> 2
+    ])
+    out = decayed_sum(ev, half_life_hours=24.0, anchor_ts=anchor).collect()
+    assert len(out) == 1
+    assert out[0]["decayed_value"] == 14.0
+    assert out[0]["n_events"] == 3
+
+
+def test_scd2_history_intervals_and_collapse(spark):
+    ev = _events(spark, [
+        (1, 1, datetime(2024, 1, 1, 0), "view", 0.0),
+        (2, 1, datetime(2024, 1, 1, 1), "view", 0.0),    # no-op change
+        (3, 1, datetime(2024, 1, 1, 2), "click", 0.0),
+        (4, 1, datetime(2024, 1, 1, 3), "view", 0.0),    # back again
+        (5, 2, datetime(2024, 1, 1, 0), "buy", 0.0),
+    ])
+    out = scd2_history(ev, key_col="user_id", value_col="event_type")
+    rows = sorted(out.collect(), key=lambda r: (r["user_id"],
+                                                r["valid_from"]))
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [r["value"] for r in u1] == ["view", "click", "view"]
+    # half-open intervals chain exactly
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+    # collapse off: one interval per raw row
+    assert scd2_history(ev, key_col="user_id", value_col="event_type",
+                        collapse_unchanged=False).count() == 5
+
+
+def test_containment_catches_embedded_doc(spark):
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    d = _docs(spark, [(1, small), (2, big), (3, "unrelated stuff entirely")])
+    out = {(r["id_a"], r["id_b"]): r for r in
+           containment_pairs(d, k=1).collect()}
+    r = out[(1, 2)]
+    assert r["containment_a"] == 1.0       # all of doc1 lives in doc2
+    assert r["containment_b"] < 0.2        # doc2 barely overlaps doc1
+    assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_winsorized_stats_clamps(spark):
+    # values 1..9 plus a 1000 outlier; p05/p95 clamp tames it
+    rows = [(i, 1, datetime(2024, 1, 1, 0, i), "e", float(v))
+            for i, v in enumerate(list(range(1, 10)) + [1000])]
+    out = winsorized_stats(_events(spark, rows), "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 10
+    assert r["p_hi"] < 1000  # the outlier itself is clamped
+    assert r["win_mean"] < 60
+
+
+def test_bigram_pmi_finds_collocation(spark):
+    # "new york" always adjacent; "the" ubiquitous -> low PMI
+    rows = [(i, "the new york office of the firm") for i in range(5)]
+    rows += [(10 + i, "the office the firm the desk") for i in range(5)]
+    out = bigram_pmi(_docs(spark, rows), k=10, min_count=3).collect()
+    pairs = [(r["tok_x"], r["tok_y"]) for r in out]
+    assert ("new", "york") in pairs
+    top = out[0]
+    assert (top["tok_x"], top["tok_y"]) == ("new", "york")
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    d = _docs(spark, [(1, "aba ab"), (2, "ba")])
+    out = {(r["sym_a"], r["sym_b"]): r["n"]
+           for r in bpe_pair_counts(d, k=10).collect()}
+    # "aba": (a,b), (b,a); "ab": (a,b); "ba": (b,a)
+    assert out == {("a", "b"): 2, ("b", "a"): 2}

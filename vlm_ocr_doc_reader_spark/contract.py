@@ -2565,63 +2565,256 @@ FROM kept
 # trivially-green contract queries (3 rounds of green driver history)
 # rotate to the tail.  All 65 remain oracled and are exercised by
 # tools/check_contract.py regardless of position.
+# ---------------------------------------------------------------------------
+# Round-5 additions: retrieval ranking, curation caps, feature windows,
+# change history, sub-document dup screening, robust summaries, phrase
+# mining, tokenizer-training kernel.
+# ---------------------------------------------------------------------------
+
+# documents-tokenizer twins used by several round-5 oracles
+_DUCK_WORDS = ("list_filter(string_split(lower(regexp_replace(trim(text), "
+               "'\\s+', ' ', 'g')), ' '), x -> x <> '')")
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval: top-20 docs for a 3-term query; posting-list
+    sized shuffles only (see datapipe/search.py scale note)."""
+    from .datapipe.search import bm25_search
+    d = load(spark, sf_dir, "documents", lift=True)
+    return bm25_search(d, ["vector", "stream", "merge"], k=20)
+
+
+ORACLE_BM25 = f"""
+WITH tf AS ({_DUCK_TF}
+), dl AS (
+  SELECT doc_id AS id, len({_DUCK_WORDS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), post AS (
+  SELECT * FROM tf WHERE token IN ('merge', 'stream', 'vector')
+), dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+scored AS (
+  SELECT p.id,
+         CAST(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+              ((p.tf * CAST(2.2 AS DOUBLE)) /
+               (p.tf + CAST(1.2 AS DOUBLE) *
+                (1.0 - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)))
+              AS DECIMAL(20,8)) AS part
+  FROM post p JOIN dfreq d USING (token) JOIN dl l ON p.id = l.id
+  CROSS JOIN stats s
+)
+SELECT id, count(*) AS n_matched,
+       round(CAST(sum(part) AS DOUBLE), 6) AS score
+FROM scored GROUP BY id ORDER BY score DESC, id LIMIT 20
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source corpus cap: every source contributes at most 20 docs,
+    chosen by salted-hash order (reproducible uniform subset)."""
+    from .datapipe.sampling import cap_per_group
+    d = load(spark, sf_dir, "documents", lift=True) \
+        .select("doc_id", "source", "n_chars")
+    return cap_per_group(d, cap=20)
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('cap' || doc_id), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Trailing-5-event rolling features per user (bounded ROWS frame,
+    one exchange; decimal-accumulated mean)."""
+    from .datapipe.sessions import rolling_stats
+    ev = load(spark, sf_dir, "events")
+    out = rolling_stats(ev, n=5)
+    return out.select("user_id", "event_id",
+                      F.unix_timestamp("ts").alias("ts_epoch"),
+                      "n_window", "rolling_mean", "rolling_max")
+
+
+ORACLE_ROLLING = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       count(value) OVER w AS n_window,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS rolling_mean,
+       round(max(value) OVER w, 6) AS rolling_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_decayed_sum(spark, sf_dir):
+    """Recency-weighted per-user activity (half-life 24h, fixed anchor)."""
+    from .datapipe.sessions import decayed_sum
+    ev = load(spark, sf_dir, "events")
+    return decayed_sum(ev, half_life_hours=24.0,
+                       anchor_ts="2024-07-01 00:00:00")
+
+
+ORACLE_DECAYED = """
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value * pow(CAST(0.5 AS DOUBLE),
+                 ((epoch(TIMESTAMP '2024-07-01 00:00:00') - epoch(ts))
+                  / CAST(3600.0 AS DOUBLE)) / CAST(24.0 AS DOUBLE))
+             AS DECIMAL(20,8))) AS DOUBLE), 6) AS decayed_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_scd2(spark, sf_dir):
+    """SCD-2 validity intervals from the event log: one row per value
+    episode per user, half-open [from, to) bounds, current row flagged."""
+    from .datapipe.history import scd2_history
+    ev = load(spark, sf_dir, "events")
+    out = scd2_history(ev, key_col="user_id", value_col="event_type")
+    return out.select("user_id", "value",
+                      F.unix_timestamp("valid_from").alias("from_epoch"),
+                      F.unix_timestamp("valid_to").alias("to_epoch"),
+                      "is_current")
+
+
+ORACLE_SCD2 = """
+WITH o AS (
+  SELECT user_id, ts, event_type AS value, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT * FROM o
+  WHERE prev IS NULL OR prev <> value OR value IS NULL
+)
+SELECT user_id, value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS from_epoch,
+       CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))) AS BIGINT)
+         AS to_epoch,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM kept
+"""
+
+
+def q_containment(spark, sf_dir):
+    """Sub-document duplication screen: token containment per pair
+    (Jaccard under-scores a page embedded in a 100x larger doc)."""
+    from .datapipe.dedup import containment_pairs
+    d = load(spark, sf_dir, "documents", lift=True) \
+        .filter(F.col("doc_id") < 20)
+    return containment_pairs(d, k=1)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH toks AS ({_DUCK_TOKENS_WHERE.format(where='doc_id < 20')}
+), sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / sa.sz, 6) AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / sb.sz, 6) AS containment_b
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """Winsorized per-type value summary: p05/p95 clamp + exact-decimal
+    winsorized mean (heavy-tail-safe reporting)."""
+    from .datapipe.outliers import winsorized_stats
+    ev = load(spark, sf_dir, "events")
+    return winsorized_stats(ev, "value", group_cols=["event_type"])
+
+
+ORACLE_WINSORIZE = """
+WITH bounds AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(min(b.p_lo), 6) AS p_lo, round(min(b.p_hi), 6) AS p_hi,
+       round(CAST(sum(CAST(least(greatest(e.value, b.p_lo), b.p_hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS win_mean
+FROM events e JOIN bounds b USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+"""
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-50 adjacent bigrams by PMI (counts-only
+    arithmetic; narrow zip_with pairing, two count aggregates)."""
+    from .datapipe.terms import bigram_pmi
+    d = load(spark, sf_dir, "documents", lift=True)
+    return bigram_pmi(d, k=50, min_count=3)
+
+
+ORACLE_BIGRAM_PMI = f"""
+WITH docs AS (SELECT {_DUCK_WORDS} AS words FROM documents),
+uni AS (
+  SELECT w AS token, count(*) AS c
+  FROM (SELECT unnest(words) AS w FROM docs) GROUP BY w
+), total AS (SELECT sum(c) AS t FROM uni),
+pairs AS (
+  SELECT words[i] AS tok_x, words[i + 1] AS tok_y, count(*) AS n_pair
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(words) - 1))
+                      AS i) g
+  WHERE len(words) >= 2
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT tok_x, tok_y, n_pair,
+       round(ln((p.n_pair * total.t) / (ux.c * uy.c)), 6) AS pmi
+FROM pairs p
+JOIN uni ux ON ux.token = p.tok_x
+JOIN uni uy ON uy.token = p.tok_y
+CROSS JOIN total
+ORDER BY pmi DESC, tok_x, tok_y LIMIT 50
+"""
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """One BPE merge round: corpus-wide adjacent character-pair counts
+    inside words (the tokenizer-training kernel)."""
+    from .datapipe.terms import bpe_pair_counts
+    d = load(spark, sf_dir, "documents", lift=True)
+    return bpe_pair_counts(d, k=50)
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest({_DUCK_WORDS}) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 1) AS sym_a, substr(w, i + 1, 1) AS sym_b
+  FROM words, LATERAL (SELECT unnest(generate_series(1, length(w) - 1))
+                       AS i) g
+  WHERE length(w) >= 2
+)
+SELECT sym_a, sym_b, count(*) AS n FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, sym_a, sym_b LIMIT 50
+"""
+
+
 QUERIES = {
-    # --- rotated to the front in r4: driver-unchecked through r03 ---
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "range_join_left": q_range_join_left,
-    "event_percentiles": q_event_percentiles,
-    "event_pivot": q_event_pivot,
-    "time_rollup": q_time_rollup,
-    "rollup_cube": q_rollup_cube,
-    "ivf_topk": q_ivf_topk,
-    "near_dup_lsh": q_near_dup_lsh,
-    "dedup_pipeline": q_dedup_pipeline,
-    "dup_components": q_dup_components,
-    "kmv_distinct": q_kmv_distinct,
-    "cms_counts": q_cms_counts,
-    "hist_quantiles": q_hist_quantiles,
-    "decontam_overlap": q_decontam_overlap,
-    "lm_score": q_lm_score,
-    "pack_sequences": q_pack_sequences,
-    "mixture_sample": q_mixture_sample,
-    "corpus_report": q_corpus_report,
-    "weighted_sample": q_weighted_sample,
-    "keyword_search": q_keyword_search,
-    "inverted_postings": q_inverted_postings,
-    "robust_outliers": q_robust_outliers,
-    "funnel": q_funnel,
-    "doc_structure": q_doc_structure,
-    "full_description": q_full_description,
-    "pii_redact": q_pii_redact,
-    "repetition": q_repetition,
-    "sessionize": q_sessionize,
-    # --- core surface ---
-    "extract_text": q_extract_text,
-    "pricing_summary": q_pricing_summary,
-    "top_order_per_cust": q_top_order_per_cust,
-    "dim_join_rollup": q_dim_join_rollup,
-    "upsert_merge": q_upsert_merge,
-    "apply_results": q_apply_results,
-    "chunking": q_chunking,
-    "vote": q_vote,
-    "dedup_exact": q_dedup_exact,
-    "jaccard": q_jaccard,
-    "minhash_sig": q_minhash_sig,
-    "minhash_pairs": q_minhash_pairs,
-    "cosine_topk": q_cosine_topk,
-    "near_dup": q_near_dup,
-    "quality": q_quality,
-    "lang_id": q_lang_id,
-    "token_counts": q_token_counts,
-    "fingerprint": q_fingerprint,
-    "heavy_hitters": q_heavy_hitters,
-    "tfidf": q_tfidf,
-    # curation stays inside the driver's 50-query window: its composed
-    # pipeline touched round-4 code (persist registry, ingest guard), so
-    # it should keep earning fresh official rows; det_sample/split_assign
-    # (untouched, r03-green) rotate to the tail in its place
-    "curation": q_curation,
+    # ROTATION RULE (institutionalized in r5): the driver snapshots the
+    # FIRST 50 entries each round.  Keep here (a) every entry with no
+    # official driver row last round, (b) every entry whose code or oracle
+    # changed this round, (c) every entry added this round — so the union
+    # of any two consecutive rounds covers all queries and nothing ships
+    # two rounds on local-only green (the r4 time_rollup lesson).
+    # --- (a) no r4 driver row ---
     "det_sample": q_det_sample,
     "split_assign": q_split_assign,
     "strat_sample": q_strat_sample,
@@ -2636,7 +2829,6 @@ QUERIES = {
     "media_features": q_media_features,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_multiband": q_lsh_topk_multiband,
-    # --- rotated to the tail in r4: 3 rounds of green driver history ---
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "entity_id": q_entity_id,
@@ -2652,6 +2844,70 @@ QUERIES = {
     "page_normalize": q_page_normalize,
     "fence_strip": q_fence_strip,
     "sanitize": q_sanitize,
+    # --- (b) r4 red light + queries whose aggregation/oracle changed in
+    # r5 (exact-decimal accumulation) or whose operator was touched ---
+    "time_rollup": q_time_rollup,
+    "pricing_summary": q_pricing_summary,
+    "dim_join_rollup": q_dim_join_rollup,
+    "sessionize": q_sessionize,
+    "rollup_cube": q_rollup_cube,
+    "lm_score": q_lm_score,
+    "corpus_report": q_corpus_report,
+    "funnel": q_funnel,
+    "ivf_topk": q_ivf_topk,
+    "jaccard": q_jaccard,
+    "curation": q_curation,
+    # --- (c) new in r5 ---
+    "bm25": q_bm25,
+    "domain_cap": q_domain_cap,
+    "rolling_stats": q_rolling_stats,
+    "decayed_sum": q_decayed_sum,
+    "scd2": q_scd2,
+    "containment": q_containment,
+    "winsorize": q_winsorize,
+    "bigram_pmi": q_bigram_pmi,
+    "bpe_pairs": q_bpe_pairs,
+    # ================= driver window boundary (50) =================
+    # everything below has a green r4 driver row and unchanged code
+    "extract_text": q_extract_text,
+    "top_order_per_cust": q_top_order_per_cust,
+    "upsert_merge": q_upsert_merge,
+    "apply_results": q_apply_results,
+    "chunking": q_chunking,
+    "vote": q_vote,
+    "dedup_exact": q_dedup_exact,
+    "minhash_sig": q_minhash_sig,
+    "minhash_pairs": q_minhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "near_dup": q_near_dup,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "heavy_hitters": q_heavy_hitters,
+    "tfidf": q_tfidf,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "range_join_left": q_range_join_left,
+    "event_percentiles": q_event_percentiles,
+    "event_pivot": q_event_pivot,
+    "near_dup_lsh": q_near_dup_lsh,
+    "dedup_pipeline": q_dedup_pipeline,
+    "dup_components": q_dup_components,
+    "kmv_distinct": q_kmv_distinct,
+    "cms_counts": q_cms_counts,
+    "hist_quantiles": q_hist_quantiles,
+    "decontam_overlap": q_decontam_overlap,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
+    "weighted_sample": q_weighted_sample,
+    "keyword_search": q_keyword_search,
+    "inverted_postings": q_inverted_postings,
+    "robust_outliers": q_robust_outliers,
+    "doc_structure": q_doc_structure,
+    "full_description": q_full_description,
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
 }
 
 ORACLES = {
@@ -2734,4 +2990,14 @@ ORACLES = {
     "range_join_left": ORACLE_RANGE_JOIN_LEFT,
     "time_rollup": ORACLE_TIME_ROLLUP,
     "rollup_cube": ORACLE_ROLLUP,
+    "bm25": ORACLE_BM25,
+    "domain_cap": ORACLE_DOMAIN_CAP,
+    "rolling_stats": ORACLE_ROLLING,
+    "decayed_sum": ORACLE_DECAYED,
+    "scd2": ORACLE_SCD2,
+    "containment": ORACLE_CONTAINMENT,
+    "winsorize": ORACLE_WINSORIZE,
+    "bigram_pmi": ORACLE_BIGRAM_PMI,
+    "bpe_pairs": ORACLE_BPE_PAIRS,
+
 }

@@ -293,7 +293,8 @@ def duplicate_clusters(df: DataFrame, threshold: float = 0.8,
 def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                   k: int = 1, id_col: str = "doc_id",
                   text_col: str = "text",
-                  persist_intermediate: bool = True) -> DataFrame:
+                  persist_intermediate: bool = True,
+                  _raw_overlap: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity.  Output: (id_a, id_b, jaccard double).
 
     With ``candidates`` (id_a, id_b — e.g. from ``minhash_candidate_pairs``)
@@ -351,16 +352,46 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                  .groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("n_inter")))
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    out = (inter
-           .join(sizes.select(F.col("id").alias("id_a"),
-                              F.col("sz").alias("sz_a")), "id_a")
-           .join(sizes.select(F.col("id").alias("id_b"),
-                              F.col("sz").alias("sz_b")), "id_b")
-           .select("id_a", "id_b",
-                   (F.col("n_inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
-                   .cast("double").alias("jaccard")))
+    overlap = (inter
+               .join(sizes.select(F.col("id").alias("id_a"),
+                                  F.col("sz").alias("sz_a")), "id_a")
+               .join(sizes.select(F.col("id").alias("id_b"),
+                                  F.col("sz").alias("sz_b")), "id_b"))
+    if _raw_overlap:   # (id_a, id_b, n_inter, sz_a, sz_b) for containment
+        return attach_cached_deps(overlap, *cached)
+    out = overlap.select(
+        "id_a", "id_b",
+        (F.col("n_inter")
+         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+        .cast("double").alias("jaccard"))
     return attach_cached_deps(out, *cached)
+
+
+def containment_pairs(df: DataFrame, candidates: DataFrame | None = None,
+                      k: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      persist_intermediate: bool = True) -> DataFrame:
+    """Shingle CONTAINMENT per pair: c_a = |S(A)∩S(B)| / |S(A)| (how much
+    of A lives inside B) and symmetrically c_b.  Jaccard under-scores
+    sub-document duplication — a page embedded verbatim in a 100x larger
+    doc has tiny Jaccard but c_a ≈ 1 — so curation pipelines screen on
+    containment to catch quote-farms and wrapper pages.
+
+    Output: (id_a, id_b, n_inter, containment_a, containment_b).  Same
+    scale story as ``jaccard_pairs``: pass LSH ``candidates`` so the
+    shingle self-join never forms (LSH proposes, containment disposes);
+    all ratios derive from integer counts — deterministic at any
+    partitioning."""
+    base = jaccard_pairs(df, candidates=candidates, k=k, id_col=id_col,
+                         text_col=text_col,
+                         persist_intermediate=persist_intermediate,
+                         _raw_overlap=True)
+    return base.select(
+        "id_a", "id_b", "n_inter",
+        F.round((F.col("n_inter") / F.col("sz_a")).cast("double"), 6)
+         .alias("containment_a"),
+        F.round((F.col("n_inter") / F.col("sz_b")).cast("double"), 6)
+         .alias("containment_b"))
 
 
 def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,

@@ -58,3 +58,37 @@ def robust_outliers(df: DataFrame, col: str,
            .withColumn("med", F.round("med", 6))
            .withColumn("mad", F.round("mad", 6)))
     return out.filter(F.col("is_outlier")) if flagged_only else out
+
+
+def winsorized_stats(df: DataFrame, col: str,
+                     group_cols: list[str] | None = None,
+                     lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-group winsorized summary: clamp ``col`` to its [lo, hi]
+    quantiles, then report n, the clamp bounds, and the winsorized mean —
+    the heavy-tail-safe location estimate reporting pipelines quote when
+    median alone hides spread.
+
+    Output: (group..., n, p_lo, p_hi, win_mean).
+
+    Scale shape: one exact-percentile aggregate per group (same engine
+    note as ``robust_outliers``), one broadcast join of the tiny bounds
+    frame back onto the rows, one final hash aggregate — rows shuffle
+    once, for the group key.  The clamped values accumulate in DECIMAL so
+    the mean is partition-invariant (clamping makes values bounded, so
+    the decimal cast is always exact-in-range)."""
+    groups = group_cols or []
+    x = F.col(col).cast("double")
+    base = df.filter(x.isNotNull())
+    bounds = base.groupBy(*groups).agg(
+        F.expr(f"percentile({col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({col}, {hi})").alias("p_hi"))
+    joined = (base.join(F.broadcast(bounds), groups) if groups
+              else base.crossJoin(F.broadcast(bounds)))
+    clamped = F.least(F.greatest(x, F.col("p_lo")), F.col("p_hi"))
+    return (joined.groupBy(*groups)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("p_lo"), 6).alias("p_lo"),
+                 F.round(F.min("p_hi"), 6).alias("p_hi"),
+                 F.round(F.sum(clamped.cast("decimal(18,6)"))
+                          .cast("double") / F.count("*"), 6)
+                  .alias("win_mean")))

@@ -116,3 +116,23 @@ def assign_splits(df: DataFrame, weights: dict[str, float],
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def cap_per_group(df: DataFrame, cap: int, group_col: str = "source",
+                  id_col: str = "doc_id",
+                  salt: str = "cap") -> DataFrame:
+    """Deterministic per-group cap ("no domain contributes more than N
+    docs"): keep ``cap`` rows per ``group_col``, chosen by the id's salted
+    hash order (a uniform random subset, reproducible across runs and
+    repartitioning; ties impossible for distinct ids).
+
+    Scale shape: one hash-partitioned window on the group key — the same
+    single exchange a groupBy would pay; no global sort.  Groups under the
+    cap pass through untouched, so the filter only bites the mega-domains
+    (the Zipfian head a crawl corpus always has)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))

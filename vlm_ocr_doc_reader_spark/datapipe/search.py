@@ -89,3 +89,62 @@ def inverted_postings(df: DataFrame, min_df: int = 1,
            .select("token", "df", "postings"))
     from .cache import attach_cached_deps
     return attach_cached_deps(out, *cached)
+
+
+def bm25_search(df: DataFrame, terms: list[str], k: int = 20,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text",
+                broadcast_postings: bool = True) -> DataFrame:
+    """Ranked retrieval: top-``k`` docs by BM25 over the query ``terms``.
+    Output: (id, n_matched, score) — score rounded to 6, ties broken by id.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (never negative)
+    tfn(t, d) = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    any aggregation, so every shuffle is posting-list-sized, not
+    corpus-sized.  Document length (dl = non-distinct token count, same
+    tokenizer) is a NARROW per-row expression on the text — the corpus
+    side never shuffles: the small posting frame broadcasts into the dl
+    join (set ``broadcast_postings=False`` for pathologically unselective
+    queries and AQE plans the join instead).  avgdl averages integer
+    lengths (exact at any partial-sum order); the per-term score parts
+    accumulate in DECIMAL so the final score is partition-invariant.
+    """
+    from .dedup import _norm
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("bm25_search: empty term list")
+    from .terms import doc_token_counts
+    post = doc_token_counts(df, id_col, text_col) \
+        .filter(F.col("token").isin(want))
+    # post feeds BOTH the df aggregate and the scoring join; it is
+    # posting-list sized, so persist it rather than exploding the corpus
+    # twice (plan-audited: without this the tokenize chain ran 2x)
+    from pyspark import StorageLevel
+    post = post.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
+
+    dl_expr = F.size(F.filter(F.split(_norm(F.col(text_col)), " "),
+                              lambda x: x != ""))
+    dl = df.select(F.col(id_col).alias("id"), dl_expr.alias("dl"))
+    stats = dl.agg(F.count("*").alias("_n"),
+                   (F.sum("dl").cast("double") / F.count("*"))
+                   .alias("_avgdl"))
+
+    scored = post.join(F.broadcast(dfreq), "token") \
+                 .crossJoin(F.broadcast(stats))
+    scored = (dl.join(F.broadcast(scored), "id")
+              if broadcast_postings else dl.join(scored, "id"))
+    idf = F.log(1.0 + (F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+    part = (idf * tfn).cast("decimal(20,8)")
+    out = (scored.groupBy("id")
+           .agg(F.count("*").alias("n_matched"),
+                F.round(F.sum(part).cast("double"), 6).alias("score"))
+           .orderBy(F.desc("score"), F.asc("id"))
+           .limit(k))
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, post)

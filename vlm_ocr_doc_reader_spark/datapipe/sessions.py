@@ -94,3 +94,56 @@ def session_summary(events: DataFrame, gap_minutes: int = 30,
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count("*").alias("n_events")))
+
+
+def rolling_stats(events: DataFrame, n: int = 5,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value",
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-event trailing-window features over the previous ``n`` events of
+    the same user (the current one included): rolling mean / max / count.
+    The feature-engineering staple for behavioral models.
+
+    Scale shape: ONE hash exchange on the user key; the ROWS BETWEEN frame
+    is bounded (n), so state per row is O(n) regardless of user history
+    length — no unbounded running state, no global sort.
+
+    Determinism: the frame is pinned by (ts, tiebreak) ordering, and the
+    rolling mean accumulates the value in exact DECIMAL over the bounded
+    frame — identical at any partitioning, exactly mirrorable in SQL."""
+    w = (Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+         .rowsBetween(-(n - 1), Window.currentRow))
+    dec = F.col(value_col).cast("decimal(18,6)")
+    return events.select(
+        user_col, tiebreak_col, ts_col, value_col,
+        F.count(value_col).over(w).alias("n_window"),
+        F.round(F.sum(dec).over(w).cast("double")
+                / F.count(value_col).over(w), 6).alias("rolling_mean"),
+        F.round(F.max(value_col).over(w), 6).alias("rolling_max"))
+
+
+def decayed_sum(events: DataFrame, half_life_hours: float = 24.0,
+                anchor_ts: str = "2024-07-01 00:00:00",
+                user_col: str = "user_id", ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Exponential-decay aggregate per user: sum(value * 0.5^(age/h))
+    where age is measured back from ``anchor_ts`` (an explicit anchor, not
+    now(), so results are reproducible).  Recency-weighted activity is the
+    standard freshness feature a ranking pipeline derives from an event
+    log.
+
+    Scale shape: the decay factor is a narrow per-row expression; the only
+    exchange is the final user groupBy with map-side partial aggregation.
+    The weighted values accumulate in DECIMAL (the per-row double
+    weight*value is cast once, deterministically) so the sum is
+    partition-invariant."""
+    # age in hours relative to the anchor (events after the anchor get
+    # weight > 1 — the formula stays monotone and exact either way)
+    age_h = ((F.unix_timestamp(F.lit(anchor_ts)).cast("double")
+              - F.col(ts_col).cast("timestamp").cast("double")) / 3600.0)
+    weight = F.pow(F.lit(0.5), age_h / F.lit(half_life_hours))
+    part = (F.col(value_col) * weight).cast("decimal(20,8)")
+    return (events.groupBy(user_col)
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(part).cast("double"), 6)
+                  .alias("decayed_value")))

@@ -129,3 +129,81 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select("id", "token", F.round("tfidf", 6).alias("tfidf"),
                     "rank"))
+
+
+def bigram_pmi(df: DataFrame, k: int = 50, min_count: int = 3,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k adjacent-token bigrams by pointwise mutual information:
+    PMI(x,y) = ln(c(xy) * T / (c(x) * c(y))), T = total token count.
+    The collocation detector ("new york", "machine learning") every
+    tokenizer/phrase-mining pass runs over a fresh corpus.
+
+    Scale shape: bigrams come from zip_with over each doc's own token
+    array — a NARROW per-row expression, never a self-join; the only
+    shuffles are the two count aggregates (unigrams, bigrams), both with
+    map-side combine.  ``min_count`` prunes the bigram tail before the
+    unigram join; the unigram count frame broadcasts (vocabulary-sized).
+    PMI derives from integer counts only — deterministic at any
+    partitioning; ln cross-engine equality is pinned by the gate.
+
+    Output: (tok_x, tok_y, n_pair, pmi) — ties broken by token order."""
+    from .dedup import _norm
+    words = F.filter(F.split(_norm(F.col(text_col)), " "),
+                     lambda x: x != "")
+    toks = (df.select(F.explode(words).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("c")))
+    pairs_arr = F.when(
+        F.size(words) >= 2,
+        F.zip_with(F.slice(words, 1, F.size(words) - 1),
+                   F.slice(words, 2, F.size(words) - 1),
+                   lambda a, b: F.struct(a.alias("x"), b.alias("y")))
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    pairs = (df.select(F.explode(pairs_arr).alias("p"))
+             .select(F.col("p.x").alias("tok_x"),
+                     F.col("p.y").alias("tok_y"))
+             .groupBy("tok_x", "tok_y")
+             .agg(F.count("*").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count))
+    total = toks.agg(F.sum("c").alias("_t"))
+    ux = toks.select(F.col("token").alias("tok_x"), F.col("c").alias("_cx"))
+    uy = toks.select(F.col("token").alias("tok_y"), F.col("c").alias("_cy"))
+    scored = (pairs.join(F.broadcast(ux), "tok_x")
+              .join(F.broadcast(uy), "tok_y")
+              .crossJoin(F.broadcast(total))
+              .select("tok_x", "tok_y", "n_pair",
+                      F.round(F.log(F.col("n_pair") * F.col("_t")
+                                    / (F.col("_cx") * F.col("_cy"))), 6)
+                       .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), F.asc("tok_x"), F.asc("tok_y"))
+            .limit(k))
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """The first BPE merge round: corpus-wide counts of adjacent SYMBOL
+    pairs inside words (symbols = characters before any merge).  A real
+    tokenizer-training loop repeats this count-and-merge; one exact round
+    is the oracle-able Spark kernel it iterates.
+
+    Scale shape: words and their character pairs are narrow per-row array
+    expressions (split + zip_with) — the corpus never shuffles until the
+    final pair-count aggregate with map-side combine.  Counts are
+    integers — partition-invariant by construction.
+
+    Output: top-k (sym_a, sym_b, n) by count, ties by symbol order."""
+    from .dedup import _norm
+    words = F.filter(F.split(_norm(F.col(text_col)), " "),
+                     lambda x: x != "")
+    chars = lambda w: F.split(w, "")  # noqa: E731
+    pair_arrays = F.flatten(F.transform(words, lambda w: F.when(
+        F.length(w) >= 2,
+        F.zip_with(F.slice(chars(w), 1, F.length(w) - 1),
+                   F.slice(chars(w), 2, F.length(w) - 1),
+                   lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))))
+    return (df.select(F.explode(pair_arrays).alias("p"))
+            .select(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+            .groupBy("sym_a", "sym_b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("sym_a"), F.asc("sym_b"))
+            .limit(k))
