@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "kmv_distinct", "cms_counts", "hist_quantiles",
     "decontam_overlap", "lm_score", "pack_sequences", "mixture_sample",
     "corpus_report", "weighted_sample", "keyword_search", "robust_outliers",
+    "bm25", "domain_cap", "rolling_stats", "decayed_sum", "scd2",
+    "containment", "winsorize", "bigram_pmi", "bpe_pairs",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published

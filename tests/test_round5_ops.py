@@ -163,3 +163,63 @@ def test_bpe_pair_counts_hand_checked(spark):
            for r in bpe_pair_counts(d, k=10).collect()}
     # "aba": (a,b), (b,a); "ab": (a,b); "ba": (b,a)
     assert out == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_incremental_candidates_finds_cross_batch_dups(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (
+        incremental_candidates, minhash_band_buckets)
+    corpus_text = ("the quick brown fox jumps over the lazy dog and then "
+                   "runs far away into the quiet green forest tonight")
+    index_docs = _docs(spark, [
+        (100, corpus_text),
+        (101, "completely different content about databases and queries "
+              "running on large analytical engines every day"),
+    ])
+    index_bands = minhash_band_buckets(index_docs, n_hashes=8,
+                                       rows_per_band=2, k=3)
+    new_docs = _docs(spark, [
+        (1, corpus_text),                       # exact dup of index 100
+        (2, "fresh unseen words entirely novel text with no overlap "
+            "whatsoever in any shingle of the stored corpus index"),
+    ])
+    out = incremental_candidates(new_docs, index_bands,
+                                 n_hashes=8, rows_per_band=2, k=3)
+    pairs = {(r["new_id"], r["index_id"]) for r in out.collect()}
+    assert (1, 100) in pairs
+    assert not any(n == 2 for n, _ in pairs)
+
+
+def test_incremental_candidates_never_rebands_index(spark):
+    """The index side must be consumed as-is: only 2 scans total and the
+    new-batch banding plan contains no index text column."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (
+        incremental_candidates, minhash_band_buckets)
+    idx = minhash_band_buckets(
+        _docs(spark, [(100, "stored corpus text here")]),
+        n_hashes=8, rows_per_band=2, k=3)
+    # materialize the index as a table (as production would)
+    idx.createOrReplaceTempView("_stored_bands")
+    stored = spark.table("_stored_bands")
+    out = incremental_candidates(
+        _docs(spark, [(1, "stored corpus text here")]), stored,
+        n_hashes=8, rows_per_band=2, k=3)
+    assert out.count() == 1
+
+
+def test_curriculum_buckets_monotone_and_balanced(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.sampling import curriculum_buckets
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "doc_id long, score double")
+    out = curriculum_buckets(df, "score", n_buckets=10).collect()
+    by_id = {r["doc_id"]: r["bucket"] for r in out}
+    # monotone in score
+    assert all(by_id[i] <= by_id[i + 1] for i in range(99))
+    assert min(by_id.values()) == 0 and max(by_id.values()) == 9
+    from collections import Counter
+    sizes = Counter(by_id.values())
+    assert max(sizes.values()) - min(sizes.values()) <= 2  # ~balanced
+    # repartition-invariant
+    out2 = {r["doc_id"]: r["bucket"] for r in
+            curriculum_buckets(df.repartition(7), "score",
+                               n_buckets=10).collect()}
+    assert by_id == out2

@@ -2807,6 +2807,71 @@ ORDER BY n DESC, sym_a, sym_b LIMIT 50
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Daily-ingest near-dup screening: band the NEW batch only (narrow
+    map) and probe the stored corpus LSH index — never re-band the
+    corpus.  Here the 'stored index' is built in-query from the older
+    docs; in production it is the persisted band table."""
+    from .datapipe.dedup import incremental_candidates, minhash_band_buckets
+    d = load(spark, sf_dir, "documents", lift=True)
+    new = d.filter(F.col("doc_id") < 100)
+    index_docs = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    index_bands = minhash_band_buckets(index_docs, n_hashes=8,
+                                       rows_per_band=2, k=3)
+    return incremental_candidates(new, index_bands, n_hashes=8,
+                                  rows_per_band=2, k=3)
+
+
+def _oracle_incremental() -> str:
+    band = """
+  SELECT id, CAST(floor(seed / 2) AS INTEGER) AS band_idx,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+             ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_hash
+  FROM (
+    SELECT id, seed,
+           min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM ({toks}) t, (SELECT unnest(generate_series(0, 7)) AS seed) s
+    GROUP BY id, seed)
+  GROUP BY id, floor(seed / 2)
+"""
+    new_toks = _DUCK_SHINGLES3_WHERE.format(alias="id",
+                                            where="doc_id < 100")
+    idx_toks = _DUCK_SHINGLES3_WHERE.format(
+        alias="id", where="doc_id >= 100 AND doc_id < 300")
+    return f"""
+WITH nb AS ({band.format(toks=new_toks)}),
+ib AS ({band.format(toks=idx_toks)}),
+sized AS (
+  SELECT band_idx, band_hash FROM ib GROUP BY band_idx, band_hash
+  HAVING count(*) <= 1000
+), idx AS (SELECT ib.* FROM ib JOIN sized USING (band_idx, band_hash))
+SELECT DISTINCT nb.id AS new_id, idx.id AS index_id
+FROM nb JOIN idx USING (band_idx, band_hash)
+WHERE nb.id <> idx.id
+"""
+
+
+def q_curriculum(spark, sf_dir):
+    """Difficulty-decile assignment by length: quantile boundaries from
+    ONE aggregate broadcast back — no ntile global sort."""
+    from .datapipe.sampling import curriculum_buckets
+    d = load(spark, sf_dir, "documents", lift=True) \
+        .select("doc_id", "n_chars")
+    return curriculum_buckets(d, "n_chars", n_buckets=10)
+
+
+ORACLE_CURRICULUM = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS bounds
+  FROM documents)
+SELECT doc_id, n_chars,
+       CAST(len(list_filter(bounds, x -> n_chars > round(x, 6)))
+            AS INTEGER) AS bucket
+FROM documents, b
+"""
+
+
 QUERIES = {
     # ROTATION RULE (institutionalized in r5): the driver snapshots the
     # FIRST 50 entries each round.  Keep here (a) every entry with no
@@ -2856,7 +2921,6 @@ QUERIES = {
     "funnel": q_funnel,
     "ivf_topk": q_ivf_topk,
     "jaccard": q_jaccard,
-    "curation": q_curation,
     # --- (c) new in r5 ---
     "bm25": q_bm25,
     "domain_cap": q_domain_cap,
@@ -2867,8 +2931,12 @@ QUERIES = {
     "winsorize": q_winsorize,
     "bigram_pmi": q_bigram_pmi,
     "bpe_pairs": q_bpe_pairs,
-    # ================= driver window boundary (50) =================
-    # everything below has a green r4 driver row and unchanged code
+    "incremental_dedup": q_incremental_dedup,
+    "curriculum": q_curriculum,
+    # ================ driver window boundary (50) ================
+    # everything below has a green r4 driver row and unchanged behavior
+    # (curation keeps lift=True documents loads, same as its r4 run)
+    "curation": q_curation,
     "extract_text": q_extract_text,
     "top_order_per_cust": q_top_order_per_cust,
     "upsert_merge": q_upsert_merge,
@@ -2999,5 +3067,6 @@ ORACLES = {
     "winsorize": ORACLE_WINSORIZE,
     "bigram_pmi": ORACLE_BIGRAM_PMI,
     "bpe_pairs": ORACLE_BPE_PAIRS,
-
+    "incremental_dedup": _oracle_incremental(),
+    "curriculum": ORACLE_CURRICULUM,
 }

@@ -491,3 +491,42 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id",
     return (df.select(F.col(id_col).alias("id"), toks.alias("_t"),
                       fp.alias("simhash"))
             .filter(F.size("_t") > 0).drop("_t"))
+
+
+def incremental_candidates(new_docs: DataFrame, index_bands: DataFrame,
+                           n_hashes: int = 16, rows_per_band: int = 4,
+                           k: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_bucket: int = 1000) -> DataFrame:
+    """Incremental near-dup screening: candidate pairs between a NEW batch
+    of documents and an EXISTING corpus LSH index — the production daily-
+    ingest path, where re-banding 100 TB per batch is not an option.
+
+    ``index_bands``: the stored (id, band_idx, band_hash) table a prior
+    ``minhash_band_buckets`` run wrote (same n_hashes / rows_per_band / k —
+    band hashes are only comparable under identical parameters).
+
+    Output: (new_id, index_id) distinct candidate pairs.
+
+    Scale shape: the batch's bands are a zero-shuffle narrow map over the
+    NEW docs only; the join against the stored index hits only matching
+    (band_idx, band_hash) buckets — with the index bucketed/partitioned on
+    the band hash this is an index lookup, never an index scan.  The
+    ``max_bucket`` cap drops degenerate buckets by INDEX-side population
+    (the same O(n^2) guard as the batch path).
+    """
+    new_bands = minhash_band_buckets(new_docs, n_hashes=n_hashes,
+                                     rows_per_band=rows_per_band, k=k,
+                                     id_col=id_col, text_col=text_col)
+    sized = (index_bands.groupBy("band_idx", "band_hash")
+             .agg(F.count("*").alias("sz"))
+             .filter(F.col("sz") <= max_bucket)
+             .select("band_idx", "band_hash"))
+    idx = index_bands.join(sized, ["band_idx", "band_hash"])
+    return (new_bands.select("band_idx", "band_hash",
+                             F.col("id").alias("new_id"))
+            .join(idx.select("band_idx", "band_hash",
+                             F.col("id").alias("index_id")),
+                  ["band_idx", "band_hash"])
+            .filter(F.col("new_id") != F.col("index_id"))
+            .select("new_id", "index_id").distinct())

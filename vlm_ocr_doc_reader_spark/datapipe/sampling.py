@@ -136,3 +136,37 @@ def cap_per_group(df: DataFrame, cap: int, group_col: str = "source",
         F.col(id_col))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def curriculum_buckets(df: DataFrame, score_col: str,
+                       n_buckets: int = 10) -> DataFrame:
+    """Difficulty-decile assignment for curriculum training: bucket k
+    (0-based) holds rows above the k-th quantile boundary of ``score_col``
+    — input rows + a ``bucket`` int column.
+
+    Spark-first shape: the obvious ``ntile`` needs a GLOBAL range sort of
+    the corpus; instead the n-1 quantile boundaries come from ONE exact
+    percentile aggregate (a single reduced row), broadcast back, and each
+    row buckets itself by comparison — zero sort, zero extra shuffle of
+    the data, identical assignment at any partitioning (bucket = count of
+    boundaries strictly below the score, a pure row function).  Unbounded
+    inputs swap the exact percentile for ``sketches.histogram_quantiles``
+    with one-bin-width boundary error and keep the comparison identical.
+    """
+    if n_buckets < 2:
+        raise ValueError("curriculum_buckets: need n_buckets >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.expr(
+        f"percentile({score_col}, array({', '.join(map(str, qs))}))")
+        .alias("_bounds"))
+    # boundaries are rounded to 6 decimals before comparison: the
+    # interpolated quantile is the one float here whose last-ulp could
+    # differ across engines/implementations — rounding makes the bucket
+    # edge a stable, portable constant
+    bucket = F.aggregate(
+        F.col("_bounds"), F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(score_col) > F.round(b, 6), 1).otherwise(0))
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn("bucket", bucket.cast("int"))
+            .drop("_bounds"))
