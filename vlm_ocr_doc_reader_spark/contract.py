@@ -2816,10 +2816,17 @@ def q_incremental_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents", lift=True)
     new = d.filter(F.col("doc_id") < 100)
     index_docs = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    from pyspark import StorageLevel
+    # production reads the band table from storage (two cheap scans: size
+    # agg + probe join); built in-query it would re-band the index docs
+    # twice, so cut once — released by the bench between passes
     index_bands = minhash_band_buckets(index_docs, n_hashes=8,
-                                       rows_per_band=2, k=3)
-    return incremental_candidates(new, index_bands, n_hashes=8,
-                                  rows_per_band=2, k=3)
+                                       rows_per_band=2, k=3) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    out = incremental_candidates(new, index_bands, n_hashes=8,
+                                 rows_per_band=2, k=3)
+    from .datapipe.cache import attach_cached_deps
+    return attach_cached_deps(out, index_bands)
 
 
 def _oracle_incremental() -> str:
