@@ -29,6 +29,13 @@ FLOAT_AGG_QUERIES = [
     "rollup_cube",
     "lm_score",
     "corpus_report",
+    # round-5 additions with decimal-accumulated float aggregates
+    "bm25",
+    "decayed_sum",
+    "winsorize",
+    "rolling_stats",
+    # quantile-boundary bucketing must also be partition-invariant
+    "curriculum",
 ]
 
 

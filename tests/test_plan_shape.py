@@ -180,3 +180,43 @@ def test_vote_partial_aggregation(spark):
         "entity_id string, axis_idx int, value string, context string, status string")
     p = plan(majority_vote(s))
     assert "HashAggregate" in p
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD-2 windows (collapse lag + interval lead) share one hash
+    partitioning on the business key."""
+    from vlm_ocr_doc_reader_spark.datapipe.history import scd2_history
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(scd2_history(ev, key_col="user_id", value_col="event_type"))
+    tree = p.split("== Physical Plan ==")[1].split("===== Subqueries")[0]
+    assert tree.count("Exchange (") == 1, tree
+
+
+def test_rolling_stats_single_exchange(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.sessions import rolling_stats
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(rolling_stats(ev, n=5))
+    tree = p.split("== Physical Plan ==")[1].split("===== Subqueries")[0]
+    assert tree.count("Exchange (") == 1, tree
+
+
+def test_bm25_corpus_side_never_shuffles_for_scoring(spark):
+    """The doc-length (corpus) side joins via a broadcast of the posting
+    frame — no shuffle exchange may sit between the documents scan and
+    the BroadcastHashJoin that scores it."""
+    from vlm_ocr_doc_reader_spark.datapipe.search import bm25_search
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(bm25_search(d, ["vector", "stream"], k=10))
+    assert "BroadcastHashJoin" in p
+    # final ranking is TakeOrderedAndProject, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in p
+
+
+def test_curriculum_has_no_global_sort(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.sampling import curriculum_buckets
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    p = plan(curriculum_buckets(d, "n_chars", n_buckets=10))
+    tree = p.split("== Physical Plan ==")[1]
+    assert "rangepartitioning" not in tree  # the ntile shape we refused
+    assert "Window" not in tree
