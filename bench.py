@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "corpus_report", "weighted_sample", "keyword_search", "robust_outliers",
     "bm25", "domain_cap", "rolling_stats", "decayed_sum", "scd2",
     "containment", "winsorize", "bigram_pmi", "bpe_pairs",
+    "incremental_dedup", "curriculum", "quality_clf", "corpus_diff",
+    "key_skew",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published

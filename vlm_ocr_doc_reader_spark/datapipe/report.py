@@ -47,3 +47,27 @@ def corpus_report(docs: DataFrame, source_col: str = "source",
                  F.round(F.lit(1.0) - n_uniq / F.count("*"), 6)
                   .alias("dup_rate"),
                  F.round(F.avg("n_chars"), 6).alias("mean_chars")))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc_id seen
+    in either snapshot with status 'added' / 'removed' / 'changed' /
+    'unchanged' (by normalized content digest) — the release-to-release
+    audit every versioned corpus ships with.
+
+    Scale shape: both sides reduce to (id, digest) narrow projections
+    before the single full-outer equi-join on the id — the join carries
+    two 128-bit columns per row, never the text.
+    """
+    def digests(df):
+        return df.select(F.col(id_col).alias("id"),
+                         F.md5(_norm(F.col(text_col))).alias("digest"))
+    a = digests(old).withColumnRenamed("digest", "old_digest")
+    b = digests(new).withColumnRenamed("digest", "new_digest")
+    j = a.join(b, "id", "full_outer")
+    status = (F.when(F.col("old_digest").isNull(), "added")
+              .when(F.col("new_digest").isNull(), "removed")
+              .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+              .otherwise("changed"))
+    return j.select(F.col("id").alias(id_col), status.alias("status"))

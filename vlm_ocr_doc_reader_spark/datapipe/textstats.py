@@ -146,3 +146,42 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.array_min(F.transform(toks, lambda x: F.md5(x)))
          .alias("fingerprint"))
+
+
+# Fixed, published weights for the logistic quality classifier — a
+# deterministic stand-in for a trained fastText/logreg quality model (the
+# FineWeb/CCNet-style "model-based filter" stage).  The FEATURES are the
+# oracled quality_features columns; swapping in trained weights changes
+# nothing structural.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -1.0,
+    "stopword_ratio": 4.0,     # prose uses function words
+    "punct_ratio": -6.0,       # symbol soup scores down
+    "mean_word_len": 0.15,     # junk skews very short/very long
+    "log_tokens": 0.35,        # enough content to judge
+}
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       threshold: float = 0.5) -> DataFrame:
+    """Model-based quality filtering, deterministically: a logistic score
+    sigmoid(w . features) over the engine's oracled text features, plus a
+    keep flag at ``threshold``.  Output: input + (clf_score double,
+    clf_keep boolean).
+
+    Scale shape: pure narrow Catalyst — the feature projection and the
+    sigmoid are per-row expressions; nothing shuffles.  The score is a
+    per-row function of the row alone, so it is trivially
+    partition-invariant, and exp() cross-engine equality is pinned by the
+    DuckDB gate (same precedent as lm_score's ln()).
+    """
+    w = QUALITY_CLF_WEIGHTS
+    q = quality_features(df, text_col=text_col)
+    z = (F.lit(w["bias"])
+         + F.col("stopword_ratio") * w["stopword_ratio"]
+         + F.col("punct_ratio") * w["punct_ratio"]
+         + F.col("mean_word_len") * w["mean_word_len"]
+         + F.log(F.col("n_tokens") + F.lit(1.0)) * w["log_tokens"])
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (q.withColumn("clf_score", F.round(score, 6).cast("double"))
+            .withColumn("clf_keep", F.col("clf_score") >= threshold))

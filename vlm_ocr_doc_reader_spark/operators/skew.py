@@ -45,3 +45,29 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))))
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Pre-join skew diagnosis: the top-``k`` heaviest values of
+    ``key_col`` with their row counts, share of total, and ratio to the
+    mean key population — the numbers that decide between a plain shuffle
+    join, AQE skew splitting, and explicit salting.
+
+    Output: (key string, n rows, share double, x_mean double), ordered by
+    n desc with deterministic tie-breaks.
+
+    Scale shape: one hash aggregate with map-side combine (the shuffle
+    carries (key, partial_count)); totals are a 1-row broadcast; top-k is
+    TakeOrderedAndProject.  Shares derive from integer counts only —
+    partition-invariant."""
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count("*").alias("n")))
+    totals = counts.agg(F.sum("n").alias("_total"),
+                        F.count("*").alias("_nkeys"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("key", "n",
+                    F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+                    F.round(F.col("n") * F.col("_nkeys") / F.col("_total"),
+                            6).alias("x_mean"))
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(k))
