@@ -266,3 +266,28 @@ def test_key_skew_report_flags_heavy_key(spark):
     assert top["key"] == "1" and top["n"] == 80
     assert top["share"] == 0.8
     assert top["x_mean"] > 10  # 80 rows vs mean ~4.8 per key
+
+
+def test_incremental_candidates_compose_with_jaccard_verify(spark):
+    """End-to-end incremental pipeline: LSH proposes cross-batch pairs,
+    exact Jaccard (candidate-driven) disposes — pure composition of
+    existing operators, no bespoke code path."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (
+        incremental_candidates, jaccard_pairs, minhash_band_buckets)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "SIGMA-PRIME")      # high-Jaccard variant
+    index_docs = _docs(spark, [(100, base), (101, "totally other words "
+                                                  "about nothing shared")])
+    new_docs = _docs(spark, [(1, near), (2, "novel unrelated content "
+                                            "every token fresh")])
+    cand = incremental_candidates(
+        new_docs, minhash_band_buckets(index_docs, 8, 2, k=3),
+        n_hashes=8, rows_per_band=2, k=3)
+    pairs = cand.select(F.col("new_id").alias("id_a"),
+                        F.col("index_id").alias("id_b"))
+    both = new_docs.unionByName(index_docs)
+    verified = jaccard_pairs(both, candidates=pairs, k=3)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert (1, 100) in rows and rows[(1, 100)] > 0.7
+    assert all(a != 2 for a, _ in rows)
