@@ -20,3 +20,25 @@ def test_every_query_is_flat_and_oracled(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"nested columns would break the gate canonicalizer: {bad}"
+
+
+def test_rotation_rule_window_coverage():
+    """The institutionalized gate-window rule (contract.py QUERIES note):
+    the driver snapshots the FIRST 50 entries, so the union of the last
+    recorded round's rows and the current window must cover every
+    registry query — nothing ships two rounds on local-only green."""
+    import glob
+    import json
+    import os
+    files = sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "CORRECTNESS_r*.json")))
+    if not files:
+        return  # fresh clone without driver history
+    last = set(json.load(open(files[-1])))
+    window = set(list(QUERIES)[:50])
+    uncovered = [q for q in QUERIES if q not in last and q not in window]
+    assert not uncovered, (
+        f"queries with neither a driver row in {os.path.basename(files[-1])} "
+        f"nor a slot in the first-50 window: {uncovered} — reorder QUERIES "
+        "per the rotation rule")
