@@ -2983,6 +2983,45 @@ ORDER BY n DESC, key LIMIT 20
 """
 
 
+def q_density_classify(spark, sf_dir):
+    """Boilerpipe NumWordsRules content classification over derived
+    sentence spans: the density-based keep signal (WSDM 2010 tree) next
+    to the engine's pattern classifier."""
+    from .operators.classify import density_classify
+    docs = load(spark, sf_dir, "documents", lift=True)
+    spans = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("offset", "raw"))
+        .select("doc_id", "offset",
+                F.trim(F.regexp_replace(F.col("raw"), r"\s+", " "))
+                 .alias("text"),
+                F.lit("text").alias("kind")))
+    out = density_classify(spans)
+    return out.select("doc_id", "offset", "n_words", "keep")
+
+
+ORACLE_DENSITY = """
+WITH sp AS (
+  SELECT doc_id, i - 1 AS off,
+         trim(regexp_replace(parts[i], '\\s+', ' ', 'g')) AS text
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), f AS (
+  SELECT doc_id, off,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) END AS n_words
+  FROM sp
+)
+SELECT doc_id, off AS offset, CAST(n_words AS INTEGER) AS n_words,
+       (n_words > 16
+        OR coalesce(lead(n_words) OVER w, 0) > 15
+        OR coalesce(lag(n_words) OVER w, 0) > 4) AS keep
+FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+"""
+
+
 QUERIES = {
     # ROTATION RULE (institutionalized in r5): the driver snapshots the
     # FIRST 50 entries each round.  Keep here (a) every entry with no
@@ -3019,7 +3058,6 @@ QUERIES = {
     "json_extract": q_json_extract,
     "page_normalize": q_page_normalize,
     "fence_strip": q_fence_strip,
-    "sanitize": q_sanitize,
     # --- (b) r4 red light + queries whose aggregation/oracle changed in
     # r5 (exact-decimal accumulation) or whose operator was touched ---
     "time_rollup": q_time_rollup,
@@ -3044,7 +3082,12 @@ QUERIES = {
     "quality_clf": q_quality_clf,
     "corpus_diff": q_corpus_diff,
     "key_skew": q_key_skew,
+    "density_classify": q_density_classify,
     # ================ driver window boundary (50) ================
+    # sanitize (r01-r03 green, untouched pure string formatting) yielded
+    # its slot to density_classify; it re-enters the r6 window under
+    # rule (a)
+    "sanitize": q_sanitize,
     # Entries displaced from the window to fit the 14 r5 additions, in
     # rising-risk order: curation (r4 green, behavior unchanged),
     # ivf_topk (r4 green; null-cosine coalesce unreachable on gate data,
@@ -3191,4 +3234,5 @@ ORACLES = {
     "quality_clf": ORACLE_QUALITY_CLF,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "key_skew": ORACLE_KEY_SKEW,
+    "density_classify": ORACLE_DENSITY,
 }
