@@ -84,3 +84,23 @@ def test_strip_json_fence(spark):
     df = spark.createDataFrame(cases, "raw string, want string")
     bad = df.filter(strip_json_fence_col(F.col("raw")) != F.col("want"))
     assert bad.count() == 0
+
+
+def test_normalize_unicode_folds_decomposed(spark):
+    from vlm_ocr_doc_reader_spark.functions.normalize import \
+        normalize_unicode
+    pre = "café"                 # precomposed é
+    dec = "café"                # e + combining acute
+    df = spark.createDataFrame([(1, pre), (2, dec), (3, None)],
+                               "id long, text string")
+    out = {r["id"]: r["text"]
+           for r in normalize_unicode(df, ["text"], "NFC").collect()}
+    assert out[1] == out[2] == pre    # one canonical form
+    assert out[3] is None
+    # NFKC additionally folds compatibility forms (ligature fi)
+    df2 = spark.createDataFrame([(1, "ﬁle")], "id long, text string")
+    assert normalize_unicode(df2, ["text"], "NFKC") \
+        .collect()[0]["text"] == "file"
+    import pytest
+    with pytest.raises(ValueError, match="unknown form"):
+        normalize_unicode(df, ["text"], "NFX")

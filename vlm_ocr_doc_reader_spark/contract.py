@@ -3022,6 +3022,34 @@ FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY off)
 """
 
 
+def q_unicode_norm(spark, sf_dir):
+    """Unicode NFC fold: every doc gets a decomposed combining-mark
+    suffix injected, then normalized — digests and char counts must agree
+    with DuckDB's utf8proc NFC (the canonicalization pass multilingual
+    dedup depends on)."""
+    from .functions.normalize import normalize_unicode
+    d = load(spark, sf_dir, "documents", lift=True).select("doc_id", "text")
+    # explicit 'e' + U+0301 combining acute: the DECOMPOSED form NFC must
+    # fold (Spark's char() is ASCII-mod-256, not a Unicode codepoint
+    # constructor, so an escaped Python literal is the portable way)
+    messy = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" cafe" + "\u0301")).alias("text"))
+    out = normalize_unicode(messy, ["text"], form="NFC")
+    return out.select("doc_id",
+                      F.length("text").alias("n_chars_nfc"),
+                      F.md5("text").alias("digest"))
+
+
+ORACLE_UNICODE_NORM = """
+SELECT doc_id,
+       CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT)
+         AS n_chars_nfc,
+       md5(nfc_normalize(text || ' cafe' || chr(769))) AS digest
+FROM documents
+"""
+
+
 QUERIES = {
     # ROTATION RULE (institutionalized in r5): the driver snapshots the
     # FIRST 50 entries each round.  Keep here (a) every entry with no
@@ -3057,7 +3085,6 @@ QUERIES = {
     "first_per_key": q_first_per_key,
     "json_extract": q_json_extract,
     "page_normalize": q_page_normalize,
-    "fence_strip": q_fence_strip,
     # --- (b) r4 red light + queries whose aggregation/oracle changed in
     # r5 (exact-decimal accumulation) or whose operator was touched ---
     "time_rollup": q_time_rollup,
@@ -3083,11 +3110,13 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "key_skew": q_key_skew,
     "density_classify": q_density_classify,
+    "unicode_norm": q_unicode_norm,
     # ================ driver window boundary (50) ================
-    # sanitize (r01-r03 green, untouched pure string formatting) yielded
-    # its slot to density_classify; it re-enters the r6 window under
-    # rule (a)
+    # sanitize and fence_strip (r01-r03 green, untouched pure string
+    # functions) yielded their slots to density_classify/unicode_norm;
+    # both re-enter the r6 window under rule (a)
     "sanitize": q_sanitize,
+    "fence_strip": q_fence_strip,
     # Entries displaced from the window to fit the 14 r5 additions, in
     # rising-risk order: curation (r4 green, behavior unchanged),
     # ivf_topk (r4 green; null-cosine coalesce unreachable on gate data,
@@ -3235,4 +3264,5 @@ ORACLES = {
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "key_skew": ORACLE_KEY_SKEW,
     "density_classify": ORACLE_DENSITY,
+    "unicode_norm": ORACLE_UNICODE_NORM,
 }
