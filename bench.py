@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "containment", "winsorize", "bigram_pmi", "bpe_pairs",
     "incremental_dedup", "curriculum", "quality_clf", "corpus_diff",
     "key_skew", "ivf_topk", "near_dup_lsh", "simhash", "windowed_counts",
-    "density_classify", "unicode_norm",
+    "density_classify", "unicode_norm", "passage_dedup",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published

@@ -291,3 +291,42 @@ def test_incremental_candidates_compose_with_jaccard_verify(spark):
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
     assert (1, 100) in rows and rows[(1, 100)] > 0.7
     assert all(a != 2 for a, _ in rows)
+
+
+def test_drop_repeated_passages_ccnet_semantics(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import \
+        drop_repeated_passages
+    banner = "Subscribe to our newsletter"
+    footer = "All rights reserved"
+    docs = _docs(spark, [
+        (1, f"{banner}. unique thoughts about turbines. {footer}"),
+        (2, f"{banner}. a different take on pumps. {footer}"),
+        (3, f"{banner}. compressors considered harmful. {footer}"),
+        (4, "standalone essay with no boilerplate at all"),
+    ])
+    out = {r["id"]: r for r in
+           drop_repeated_passages(docs, min_doc_freq=3).collect()}
+    assert out[1]["clean_text"] == "unique thoughts about turbines"
+    assert out[1]["n_dropped"] == 2 and out[1]["n_kept"] == 1
+    assert out[4]["clean_text"].startswith("standalone essay")
+    assert out[4]["n_dropped"] == 0
+    # normalization-insensitive: case/whitespace variants still count as
+    # the same passage
+    docs2 = _docs(spark, [
+        (1, f"{banner}. body one"), (2, f"{banner.upper()}. body two"),
+        (3, f"  {banner} . body three".replace(" .", ".")),
+    ])
+    out2 = {r["id"]: r for r in
+            drop_repeated_passages(docs2, min_doc_freq=3).collect()}
+    assert all(out2[i]["n_dropped"] == 1 for i in (1, 2, 3))
+
+
+def test_drop_repeated_passages_all_boilerplate_doc_survives(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import \
+        drop_repeated_passages
+    docs = _docs(spark, [(i, "same thing everywhere") for i in range(4)])
+    out = {r["id"]: r for r in
+           drop_repeated_passages(docs, min_doc_freq=2).collect()}
+    assert len(out) == 4                      # docs never disappear
+    assert all(r["clean_text"] == "" and r["n_kept"] == 0
+               for r in out.values())

@@ -3050,6 +3050,49 @@ FROM documents
 """
 
 
+def q_passage_dedup(spark, sf_dir):
+    """CCNet-style repeated-passage removal: every doc gets the same
+    injected banner + footer sentences around its own unique content;
+    the corpus-frequency pass drops the shared passages and reassembles
+    the survivors in order."""
+    from .datapipe.dedup import drop_repeated_passages
+    d = load(spark, sf_dir, "documents", lift=True)
+    enriched = d.select(
+        "doc_id",
+        F.concat(F.lit("Subscribe to our newsletter. "),
+                 F.substring("text", 1, 80),
+                 F.lit(". All rights reserved")).alias("text"))
+    out = drop_repeated_passages(enriched, min_doc_freq=3)
+    return out.select(F.col("id").alias("doc_id"), "clean_text",
+                      "n_kept", "n_dropped")
+
+
+ORACLE_PASSAGE_DEDUP = """
+WITH docs2 AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter. ' || substr(text, 1, 80)
+         || '. All rights reserved' AS text
+  FROM documents
+), p AS (
+  SELECT doc_id AS id, i - 1 AS pos, parts[i] AS passage,
+         md5(lower(regexp_replace(trim(parts[i]), '\\s+', ' ', 'g')))
+           AS digest
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM docs2) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), freq AS (
+  SELECT digest, count(*) AS df
+  FROM (SELECT DISTINCT id, digest FROM p) GROUP BY digest
+), m AS (SELECT p.*, f.df FROM p JOIN freq f USING (digest))
+SELECT id AS doc_id,
+       coalesce(string_agg(CASE WHEN df < 3 THEN passage END, '. '
+                           ORDER BY pos), '') AS clean_text,
+       CAST(count(*) FILTER (df < 3) AS INTEGER) AS n_kept,
+       CAST(count(*) FILTER (df >= 3) AS INTEGER) AS n_dropped
+FROM m GROUP BY id
+"""
+
+
 QUERIES = {
     # ROTATION RULE (institutionalized in r5): the driver snapshots the
     # FIRST 50 entries each round.  Keep here (a) every entry with no
@@ -3083,7 +3126,6 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "count_if": q_count_if,
     "first_per_key": q_first_per_key,
-    "json_extract": q_json_extract,
     "page_normalize": q_page_normalize,
     # --- (b) r4 red light + queries whose aggregation/oracle changed in
     # r5 (exact-decimal accumulation) or whose operator was touched ---
@@ -3111,12 +3153,15 @@ QUERIES = {
     "key_skew": q_key_skew,
     "density_classify": q_density_classify,
     "unicode_norm": q_unicode_norm,
+    "passage_dedup": q_passage_dedup,
     # ================ driver window boundary (50) ================
-    # sanitize and fence_strip (r01-r03 green, untouched pure string
-    # functions) yielded their slots to density_classify/unicode_norm;
-    # both re-enter the r6 window under rule (a)
+    # sanitize, fence_strip, json_extract (r01-r03 green, untouched
+    # parsing/formatting functions) yielded their slots to the three
+    # late-round additions above; all re-enter the r6 window under
+    # rule (a)
     "sanitize": q_sanitize,
     "fence_strip": q_fence_strip,
+    "json_extract": q_json_extract,
     # Entries displaced from the window to fit the 14 r5 additions, in
     # rising-risk order: curation (r4 green, behavior unchanged),
     # ivf_topk (r4 green; null-cosine coalesce unreachable on gate data,
@@ -3265,4 +3310,5 @@ ORACLES = {
     "key_skew": ORACLE_KEY_SKEW,
     "density_classify": ORACLE_DENSITY,
     "unicode_norm": ORACLE_UNICODE_NORM,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
 }

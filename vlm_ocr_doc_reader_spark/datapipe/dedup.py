@@ -530,3 +530,45 @@ def incremental_candidates(new_docs: DataFrame, index_bands: DataFrame,
                   ["band_idx", "band_hash"])
             .filter(F.col("new_id") != F.col("index_id"))
             .select("new_id", "index_id").distinct())
+
+
+def drop_repeated_passages(df: DataFrame, min_doc_freq: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Passage-level boilerplate removal (the CCNet paragraph-dedup
+    stage): split each document into sentence passages, count how many
+    DISTINCT documents each normalized passage appears in corpus-wide,
+    drop passages at or above ``min_doc_freq`` (cookie banners, footers,
+    share-bars — text that repeats across unrelated pages), and
+    reassemble each document's surviving passages in original order.
+
+    Output: (id, clean_text, n_kept int, n_dropped int).  Reassembly
+    joins with '. ' (the canonical sentence separator this engine's
+    derived-span tooling uses); a fully-boilerplate document keeps an
+    empty clean_text rather than disappearing.
+
+    Scale shape: the passage frequency table is (digest, df) — passage-
+    cardinality, far smaller than the corpus — built with map-side
+    combine; the verdict join keys on the 128-bit digest (high
+    cardinality, no skew beyond true boilerplate, which is exactly what
+    the count identifies); reassembly is one hash aggregate per doc with
+    sort_array pinning passage order.  Total: two exchanges.
+    """
+    p = (df.select(F.col(id_col).alias("id"),
+                   F.posexplode(F.split(F.col(text_col), r"\. "))
+                    .alias("pos", "passage"))
+         .withColumn("_digest", F.md5(_norm(F.col("passage")))))
+    freq = (p.select("id", "_digest").distinct()
+            .groupBy("_digest")
+            .agg(F.count("*").alias("_df")))
+    marked = p.join(freq, "_digest")
+    kept = F.col("_df") < min_doc_freq
+    return (marked.groupBy("id")
+            .agg(F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(
+                        kept, F.struct(F.col("pos").alias("p"),
+                                       F.col("passage").alias("t"))))),
+                    lambda s: s.t), ". ").alias("clean_text"),
+                 F.sum(kept.cast("int")).cast("int").alias("n_kept"),
+                 F.sum((~kept).cast("int")).cast("int").alias("n_dropped")))
