@@ -330,3 +330,44 @@ def test_drop_repeated_passages_all_boilerplate_doc_survives(spark):
     assert len(out) == 4                      # docs never disappear
     assert all(r["clean_text"] == "" and r["n_kept"] == 0
                for r in out.values())
+
+
+def test_merge_signature_shards_equals_unsharded(spark):
+    """Element-wise min of per-shard signatures == signature of the whole
+    text (min over a union = min of mins) — the incremental index
+    maintenance identity."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (
+        _signature_array, merge_signature_shards)
+    full = "alpha beta gamma delta epsilon zeta eta theta"
+    part1, part2 = "alpha beta gamma delta", "epsilon zeta eta theta"
+
+    def sigs(rows):
+        df = spark.createDataFrame(rows, "id long, text string")
+        return df.select("id", _signature_array(1, 8, "text").alias("sig"))
+
+    whole = {r["id"]: list(r["sig"]) for r in sigs([(1, full)]).collect()}
+    merged_df = merge_signature_shards(sigs([(1, part1), (2, "only a")]),
+                                       sigs([(1, part2)]))
+    merged = {r["id"]: list(r["sig"]) for r in merged_df.collect()}
+    assert merged[1] == whole[1]
+    assert len(merged[2]) == 8          # single-shard id passes through
+
+
+def test_truncate_to_token_budget(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.assembly import \
+        truncate_to_token_budget
+    d = _docs(spark, [
+        (1, "one two three. four five. six seven eight nine"),
+        (2, "tiny doc"),
+        (3, "first sentence is already way over the budget limit here"),
+    ])
+    out = {r["doc_id"]: r for r in
+           truncate_to_token_budget(d, max_tokens=5).collect()}
+    # doc 1: sentences of 3/2/4 tokens; 3+2=5 fits, +4 would not
+    assert out[1]["text"] == "one two three. four five"
+    assert out[1]["n_tokens_kept"] == 5 and out[1]["was_truncated"]
+    # doc 2 untouched
+    assert out[2]["text"] == "tiny doc" and not out[2]["was_truncated"]
+    # doc 3: over-budget first sentence still kept (no vanishing docs)
+    assert out[3]["text"].startswith("first sentence")
+    assert out[3]["n_tokens_kept"] > 5 and not out[3]["was_truncated"]

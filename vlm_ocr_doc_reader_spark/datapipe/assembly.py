@@ -110,3 +110,44 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
             else rate.when(cond, F.lit(float(r)))
     rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return df.filter(u < rate)
+
+
+def truncate_to_token_budget(df: DataFrame, max_tokens: int,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Per-document token-budget truncation at sentence boundaries: keep
+    whole leading sentences while their cumulative whitespace-token count
+    fits ``max_tokens`` (always keeping at least the first sentence, so
+    no document vanishes) — the context-window guard before packing.
+
+    Output: input ids + (text truncated, n_tokens_kept int,
+    was_truncated boolean).
+
+    Scale shape: pure narrow Catalyst — sentence split, per-sentence
+    token counts, and the running-sum prefix selection are all per-row
+    array expressions (aggregate over the doc's own sentence array); no
+    shuffle at all."""
+    sents = F.split(F.col(text_col), r"\. ")
+    tok_counts = F.transform(
+        sents, lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"),
+                                         lambda x: x != "")))
+    # prefix sums of per-sentence token counts
+    cum = F.aggregate(
+        tok_counts,
+        F.array().cast("array<int>"),
+        lambda acc, n: F.concat(
+            acc,
+            F.array((F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0))
+                     + n).cast("int"))))
+    # number of leading sentences that fit (at least 1)
+    n_fit = F.greatest(
+        F.aggregate(cum, F.lit(0),
+                    lambda acc, c: acc
+                    + F.when(c <= max_tokens, 1).otherwise(0)),
+        F.lit(1))
+    kept = F.slice(sents, 1, n_fit)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, ". ").alias(text_col),
+        F.element_at(cum, n_fit).cast("int").alias("n_tokens_kept"),
+        (n_fit < F.size(sents)).alias("was_truncated"))

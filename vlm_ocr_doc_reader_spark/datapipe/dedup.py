@@ -572,3 +572,27 @@ def drop_repeated_passages(df: DataFrame, min_doc_freq: int = 3,
                     lambda s: s.t), ". ").alias("clean_text"),
                  F.sum(kept.cast("int")).cast("int").alias("n_kept"),
                  F.sum((~kept).cast("int")).cast("int").alias("n_dropped")))
+
+
+def merge_signature_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two MinHash signature tables over DISJOINT shingle shards of
+    the same documents (e.g. per-chunk signatures of a sharded ingest):
+    the true signature of the union of shingle sets is the element-wise
+    MIN of the shard signatures — min is associative/commutative, so
+    shards merge in any order and incremental index maintenance never
+    re-reads raw text.
+
+    Input/output: (id, sig array<string>) — the array form
+    ``_signature_array`` produces before banding.  Ids present in only
+    one shard pass through unchanged.
+
+    Scale shape: one equi-join on id + a narrow zip_with; signatures are
+    n_hashes strings per doc regardless of document size."""
+    sa = a.select(F.col("id"), F.col("sig").alias("_sa"))
+    sb = b.select(F.col("id"), F.col("sig").alias("_sb"))
+    merged = F.when(
+        F.col("_sa").isNull(), F.col("_sb")).when(
+        F.col("_sb").isNull(), F.col("_sa")).otherwise(
+        F.zip_with("_sa", "_sb", lambda x, y: F.least(x, y)))
+    return (sa.join(sb, "id", "full_outer")
+            .select("id", merged.alias("sig")))
