@@ -448,3 +448,27 @@ def test_cache_registry_safety_net(spark):
     assert released >= 1
     sl = base.storageLevel
     assert not (sl.useMemory or sl.useDisk)
+
+
+def test_cache_registry_survives_python_gc(spark):
+    """The JVM CacheManager keeps persisted data alive no matter what
+    CPython frees — the registry must hold STRONG refs so the safety net
+    still works after the result frame (the only attribute carrier) is
+    garbage-collected (the bench between-passes pattern)."""
+    import gc
+
+    from vlm_ocr_doc_reader_spark.datapipe.cache import (
+        attach_cached_deps, outstanding_cached, release_all_cached)
+
+    def run_and_drop():
+        base = spark.range(64).persist()
+        base.count()
+        out = attach_cached_deps(base.selectExpr("id + 1 AS y"), base)
+        out.count()                     # action; then every local dies
+
+    run_and_drop()
+    gc.collect()
+    live = outstanding_cached()
+    assert live, "registry lost the handle after Python GC"
+    assert release_all_cached() >= 1
+    assert not outstanding_cached()

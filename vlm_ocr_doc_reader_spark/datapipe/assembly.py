@@ -131,23 +131,27 @@ def truncate_to_token_budget(df: DataFrame, max_tokens: int,
     tok_counts = F.transform(
         sents, lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"),
                                          lambda x: x != "")))
-    # prefix sums of per-sentence token counts
-    cum = F.aggregate(
-        tok_counts,
-        F.array().cast("array<int>"),
-        lambda acc, n: F.concat(
-            acc,
-            F.array((F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0))
-                     + n).cast("int"))))
-    # number of leading sentences that fit (at least 1)
-    n_fit = F.greatest(
-        F.aggregate(cum, F.lit(0),
-                    lambda acc, c: acc
-                    + F.when(c <= max_tokens, 1).otherwise(0)),
-        F.lit(1))
+    # ONE linear fold instead of materializing a prefix-sum array (the
+    # array-concat formulation copies the accumulator per element — O(s^2)
+    # per document): carry (running total, #sentences that fit, tokens in
+    # the fitting prefix) through a struct accumulator
+    acc0 = F.struct(F.lit(0).alias("total"), F.lit(0).alias("fit"),
+                    F.lit(0).alias("kept"))
+    folded = F.aggregate(
+        tok_counts, acc0,
+        lambda acc, n: F.struct(
+            (acc["total"] + n).alias("total"),
+            (acc["fit"] + F.when(acc["total"] + n <= max_tokens, 1)
+             .otherwise(0)).alias("fit"),
+            F.when(acc["total"] + n <= max_tokens, acc["total"] + n)
+             .otherwise(acc["kept"]).alias("kept")))
+    # always keep at least the first sentence so no document vanishes
+    n_fit = F.greatest(folded["fit"], F.lit(1))
+    n_kept_tokens = F.when(folded["fit"] >= 1, folded["kept"]) \
+        .otherwise(F.element_at(tok_counts, 1))
     kept = F.slice(sents, 1, n_fit)
     return df.select(
         F.col(id_col),
         F.array_join(kept, ". ").alias(text_col),
-        F.element_at(cum, n_fit).cast("int").alias("n_tokens_kept"),
+        n_kept_tokens.cast("int").alias("n_tokens_kept"),
         (n_fit < F.size(sents)).alias("was_truncated"))

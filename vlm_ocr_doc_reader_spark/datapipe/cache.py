@@ -25,16 +25,25 @@ everything still outstanding, and ``outstanding_cached()`` reports leaks
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
 _ATTR = "_cached_deps"
 
-# every handle ever attached, weakly — lets a caller who transformed the
-# result frame (losing the attribute) still clean up, and lets tests
-# assert nothing leaked
-_REGISTRY: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+# every handle ever attached, STRONGLY referenced — the JVM CacheManager
+# holds the persisted data regardless of the Python wrapper's lifetime, so
+# a weak registry would lose the handle in exactly the lost-attribute
+# scenario it exists for (result frame garbage-collected right after an
+# action); entries leave the registry when released or observed
+# unpersisted
+_REGISTRY: set = set()
+
+
+def _is_persisted(h) -> bool:
+    try:
+        sl = h.storageLevel
+        return bool(sl.useMemory or sl.useDisk or sl.useOffHeap)
+    except Exception:
+        return False
 
 
 def attach_cached_deps(df: DataFrame, *deps) -> DataFrame:
@@ -44,13 +53,15 @@ def attach_cached_deps(df: DataFrame, *deps) -> DataFrame:
     handles = list(getattr(df, _ATTR, []))
     for d in deps:
         handles.extend(getattr(d, _ATTR, []))
-        if isinstance(d, DataFrame):
-            sl = d.storageLevel
-            if sl.useMemory or sl.useDisk or sl.useOffHeap:
-                handles.append(d)  # only actually-persisted frames
+        if isinstance(d, DataFrame) and _is_persisted(d):
+            handles.append(d)  # only actually-persisted frames
     if handles:
         setattr(df, _ATTR, handles)
         _REGISTRY.update(handles)
+        # bound registry growth: drop anything already unpersisted by
+        # other paths (their JVM cache entries are gone)
+        for h in [h for h in _REGISTRY if not _is_persisted(h)]:
+            _REGISTRY.discard(h)
     return df
 
 
@@ -59,15 +70,7 @@ def outstanding_cached() -> list[DataFrame]:
     a non-empty result after a batch completes means some caller dropped
     the handle convention (e.g. transformed the result frame before
     releasing)."""
-    out = []
-    for h in _REGISTRY:
-        try:
-            sl = h.storageLevel
-            if sl.useMemory or sl.useDisk or sl.useOffHeap:
-                out.append(h)
-        except Exception:
-            pass
-    return out
+    return [h for h in _REGISTRY if _is_persisted(h)]
 
 
 def release_all_cached() -> int:
@@ -81,6 +84,7 @@ def release_all_cached() -> int:
             n += 1
         except Exception:
             pass
+        _REGISTRY.discard(h)
     return n
 
 
@@ -92,4 +96,5 @@ def release_cached(df: DataFrame) -> None:
             h.unpersist()
         except Exception:
             pass
+        _REGISTRY.discard(h)
     setattr(df, _ATTR, [])

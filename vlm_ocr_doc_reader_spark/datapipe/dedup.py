@@ -386,12 +386,16 @@ def containment_pairs(df: DataFrame, candidates: DataFrame | None = None,
                          text_col=text_col,
                          persist_intermediate=persist_intermediate,
                          _raw_overlap=True)
-    return base.select(
+    out = base.select(
         "id_a", "id_b", "n_inter",
         F.round((F.col("n_inter") / F.col("sz_a")).cast("double"), 6)
          .alias("containment_a"),
         F.round((F.col("n_inter") / F.col("sz_b")).cast("double"), 6)
          .alias("containment_b"))
+    # the select returns a fresh frame — re-attach the persisted handles
+    # jaccard_pairs hung on `base` or they become unreleasable
+    from .cache import attach_cached_deps
+    return attach_cached_deps(out, base)
 
 
 def ngram_overlap(train: DataFrame, test: DataFrame, n: int = 13,

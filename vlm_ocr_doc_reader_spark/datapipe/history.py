@@ -37,21 +37,21 @@ def scd2_history(log: DataFrame, key_col: str = "user_id",
     Ordering is pinned by (ts, tiebreak) so equal-timestamp changes
     resolve identically on every engine/partitioning.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     df = log.select(F.col(key_col).alias("key"),
                     F.col(ts_col).alias("ts"),
                     F.col(value_col).alias("value"),
                     F.col(tiebreak_col).alias("_tb"))
+    # one window spec reused by the collapse lag AND the interval lead —
+    # both share the same hash partitioning, so the build stays a single
+    # exchange (plan-asserted in test_plan_shape)
+    w = Window.partitionBy("key").orderBy("ts", "_tb")
     if collapse_unchanged:
-        prev = F.lag("value").over(
-            Window.partitionBy("key").orderBy("ts", "_tb"))
-        df = (df.withColumn("_prev", prev)
+        df = (df.withColumn("_prev", F.lag("value").over(w))
               .filter(F.col("_prev").isNull()
                       | (F.col("_prev") != F.col("value"))
                       | F.col("value").isNull())
               .drop("_prev"))
-    w2 = Window.partitionBy("key").orderBy("ts", "_tb")
-    nxt = F.lead("ts").over(w2)
+    nxt = F.lead("ts").over(w)
     return (df.select(
         "key", "value",
         F.col("ts").alias("valid_from"),

@@ -71,7 +71,13 @@ def compact_rollup(spark: SparkSession, table_dir: str) -> None:
     import shutil
     existing = sorted(d for d in os.listdir(table_dir)
                       if d.startswith("batch_id="))
-    folded = read_rollup(spark, table_dir)
+    # fold EXACTLY the snapshotted partitions (explicit paths), never a
+    # fresh glob: a micro-batch landing between the listdir and the fold
+    # would otherwise be folded into the compacted partition AND survive
+    # the deletion loop below — double-counted by every later read
+    folded = _fold(spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in existing])
+        .select(*_AGG_COLS, "n_events", "sum_value"))
     staging = os.path.join(table_dir, "_compact_staging")
     folded.write.mode("overwrite").parquet(staging)
     target = os.path.join(table_dir, "batch_id=compacted")
