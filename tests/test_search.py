@@ -39,3 +39,25 @@ def test_inverted_postings_df_bounds(corpus):
     # 'table' (df=3) pruned by max_df; singletons ('join', 'rows', ...)
     # pruned by min_df; survivors with sorted postings:
     assert idx == {"spark": (2, [1, 3]), "the": (2, [1, 2])}
+
+
+def test_keyword_snippets_windows_and_cap(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.search import keyword_snippets
+    df = spark.createDataFrame(
+        [(1, "a b c TARGET d e f"),
+         (2, "TARGET x y z TARGET q r s TARGET t u TARGET v")],
+        "doc_id long, text string")
+    out = keyword_snippets(df, "target", window=2, max_per_doc=3)
+    rows = sorted((r["id"], r["hit_pos"], r["snippet"])
+                  for r in out.collect())
+    # doc 1: one hit at token index 3, window clipped to bounds
+    assert rows[0] == (1, 3, "b c target d e")
+    # doc 2: four occurrences, capped to the first 3, in token order
+    d2 = [r for r in rows if r[0] == 2]
+    assert len(d2) == 3
+    assert d2[0][1] == 0 and d2[0][2].startswith("target x y")
+    # no-hit docs emit nothing
+    assert keyword_snippets(
+        spark.createDataFrame([(3, "nothing here")],
+                              "doc_id long, text string"),
+        "target").count() == 0

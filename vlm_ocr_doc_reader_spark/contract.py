@@ -3101,8 +3101,9 @@ QUERIES = {
     # of any two consecutive rounds covers all queries and nothing ships
     # two rounds on local-only green (the r4 time_rollup lesson).
     # r6 TODO under rule (c): add oracled gate entries for
-    # datapipe.dedup.merge_signature_shards and
-    # datapipe.assembly.truncate_to_token_budget (tests-only in r5).
+    # datapipe.dedup.merge_signature_shards,
+    # datapipe.assembly.truncate_to_token_budget, and
+    # datapipe.search.keyword_snippets (tests-only in r5).
     # --- (a) no r4 driver row ---
     "det_sample": q_det_sample,
     "split_assign": q_split_assign,

@@ -148,3 +148,44 @@ def bm25_search(df: DataFrame, terms: list[str], k: int = 20,
            .limit(k))
     from .cache import attach_cached_deps
     return attach_cached_deps(out, post)
+
+
+def keyword_snippets(df: DataFrame, term: str, window: int = 5,
+                     max_per_doc: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Keyword-in-context snippets: for every occurrence of ``term`` (as a
+    normalized token), the surrounding ±``window`` tokens — the result
+    renderer for corpus forensics ("show me how X is used"), capped at
+    ``max_per_doc`` snippets per document in token order.
+
+    Output: (id, hit_pos int, snippet string).
+
+    Scale shape: pure narrow expressions — the token array, the matching
+    positions, and the slices are all computed per row; the per-doc cap is
+    an array slice, not a window function; zero shuffle."""
+    from .dedup import _norm
+    t = term.lower()
+    words = F.filter(F.split(_norm(F.col(text_col)), " "),
+                     lambda x: x != "")
+    hits = F.slice(
+        F.filter(
+            F.transform(words, lambda w, i: F.when(w == t, i + 1)
+                        .otherwise(F.lit(None))),
+            lambda p: p.isNotNull()),
+        1, max_per_doc)
+    n = F.size(words)
+    snips = F.transform(
+        hits,
+        lambda p: F.struct(
+            (p - 1).cast("int").alias("hit_pos"),
+            F.concat_ws(
+                " ",
+                F.slice(words,
+                        F.greatest(p - window, F.lit(1)),
+                        F.least(p + window, n)
+                        - F.greatest(p - window, F.lit(1)) + 1))
+            .alias("snippet")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(snips).alias("s"))
+            .select("id", F.col("s.hit_pos").alias("hit_pos"),
+                    F.col("s.snippet").alias("snippet")))
