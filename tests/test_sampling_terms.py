@@ -200,3 +200,30 @@ def test_curate_corpus_cache_released(spark):
     assert not getattr(plain, "_cached_deps", [])
     assert plain.count() == n
     release_intermediate(plain)  # no-op, no raise
+
+
+def test_bigram_logprob_word_salad_below_prose(spark):
+    """Same common tokens, scrambled transitions -> lower bigram score;
+    the discrimination the unigram model cannot make."""
+    from vlm_ocr_doc_reader_spark.datapipe.terms import bigram_logprob_score
+    prose = "the cat sat on the mat"
+    rows = [(i, prose) for i in range(8)]            # common transitions
+    rows += [(100, "mat the on sat cat the")]        # same tokens, scrambled
+    rows += [(200, "solo")]                          # 1 token: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in bigram_logprob_score(df).collect()}
+    assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
+    assert 200 not in out                            # nothing to score
+    assert out[0]["n_bigrams"] == 5
+
+
+def test_bigram_logprob_partition_invariant(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.terms import bigram_logprob_score
+    import random
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [(i, " ".join(rng.choices(vocab, k=30))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(str, bigram_logprob_score(df).collect()))
+    b = sorted(map(str, bigram_logprob_score(df.repartition(7)).collect()))
+    assert a == b

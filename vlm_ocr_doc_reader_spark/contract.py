@@ -3103,7 +3103,8 @@ QUERIES = {
     # r6 TODO under rule (c): add oracled gate entries for
     # datapipe.dedup.merge_signature_shards,
     # datapipe.assembly.truncate_to_token_budget, and
-    # datapipe.search.keyword_snippets (tests-only in r5).
+    # datapipe.search.keyword_snippets, and
+    # datapipe.terms.bigram_logprob_score (tests-only in r5).
     # --- (a) no r4 driver row ---
     "det_sample": q_det_sample,
     "split_assign": q_split_assign,

@@ -207,3 +207,54 @@ def bpe_pair_counts(df: DataFrame, k: int = 50,
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("sym_a"), F.asc("sym_b"))
             .limit(k))
+
+
+def bigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-doc mean bigram conditional log-probability under the corpus's
+    own bigram model — the next rung above ``unigram_logprob_score`` on
+    the LM-quality ladder (word-salad scores low even when every single
+    token is common, because its TRANSITIONS are rare):
+
+      score(d) = (1/B) * sum over adjacent pairs (x, y) of
+                 ln((c(xy) + 1) / (c(x) + V)),  V = unigram vocab size.
+
+    Output: (id, n_bigrams, avg_logprob) — single-token and empty docs
+    are excluded (no transitions to score).
+
+    Scale shape: pairing is a narrow zip_with (never a self-join); the
+    bigram/unigram count tables aggregate with map-side combine and the
+    count frames broadcast into the scoring join (vocabulary-sized).
+    Per-pair contributions accumulate in DECIMAL, so the score is
+    partition-invariant (ARCHITECTURE §6), and every term derives from
+    integer counts + one ln — exactly SQL-mirrorable for the r6 gate.
+    """
+    from .dedup import _norm
+    words = F.filter(F.split(_norm(F.col(text_col)), " "),
+                     lambda x: x != "")
+    pairs_arr = F.when(
+        F.size(words) >= 2,
+        F.zip_with(F.slice(words, 1, F.size(words) - 1),
+                   F.slice(words, 2, F.size(words) - 1),
+                   lambda a, b: F.struct(a.alias("x"), b.alias("y")))
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    doc_pairs = (df.select(F.col(id_col).alias("id"),
+                           F.explode(pairs_arr).alias("p"))
+                 .select("id", F.col("p.x").alias("x"),
+                         F.col("p.y").alias("y"))
+                 .groupBy("id", "x", "y")
+                 .agg(F.count("*").alias("n")))
+    uni = (df.select(F.explode(words).alias("x"))
+           .groupBy("x").agg(F.count("*").alias("cx")))
+    big = doc_pairs.groupBy("x", "y").agg(F.sum("n").alias("cxy"))
+    vocab = uni.agg(F.count("*").alias("_v"))
+    logp = F.log((F.col("cxy") + 1.0) / (F.col("cx") + F.col("_v")))
+    return (doc_pairs
+            .join(F.broadcast(big), ["x", "y"])
+            .join(F.broadcast(uni), "x")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("id")
+            .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                 F.round(F.sum((F.col("n") * logp).cast("decimal(20,8)"))
+                          .cast("double") / F.sum("n"), 6)
+                  .alias("avg_logprob")))
