@@ -85,3 +85,39 @@ def test_epoch_key_varies_with_seed(spark):
                                epoch_key(seed=1).alias("k1"))
     rows = df.collect()
     assert all(r["k0"] != r["k1"] for r in rows)
+
+
+def test_chunk_text_overlap_and_tail(spark):
+    from vlm_ocr_doc_reader_spark.datapipe.assembly import chunk_text
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = [r for r in chunk_text(df, chunk_tokens=4, overlap=2)
+           .orderBy("id", "chunk_idx").collect()]
+    d1 = [r for r in out if r["id"] == 1]
+    # starts every 2 tokens: 0,2,4,6 (stop once start > n - overlap)
+    assert [r["start_tok"] for r in d1] == [0, 2, 4, 6]
+    assert d1[0]["chunk"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk"] == "w2 w3 w4 w5"
+    # every adjacent pair shares exactly `overlap` tokens
+    for a, b in zip(d1, d1[1:]):
+        assert a["chunk"].split()[-2:] == b["chunk"].split()[:2]
+    # tail chunk keeps the remainder; nothing is lost
+    assert d1[-1]["chunk"] == "w6 w7 w8 w9"
+    covered = set()
+    for r in d1:
+        covered.update(r["chunk"].split())
+    assert covered == set(words.split())
+    # short doc -> one partial chunk; empty doc -> nothing
+    d2 = [r for r in out if r["id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk"] == "a b" and d2[0]["n_tokens"] == 2
+    assert not [r for r in out if r["id"] == 3]
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest
+
+    from vlm_ocr_doc_reader_spark.datapipe.assembly import chunk_text
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, chunk_tokens=4, overlap=4)

@@ -3104,7 +3104,8 @@ QUERIES = {
     # datapipe.dedup.merge_signature_shards,
     # datapipe.assembly.truncate_to_token_budget, and
     # datapipe.search.keyword_snippets, and
-    # datapipe.terms.bigram_logprob_score (tests-only in r5).
+    # datapipe.terms.bigram_logprob_score, and
+    # datapipe.assembly.chunk_text (tests-only in r5).
     # --- (a) no r4 driver row ---
     "det_sample": q_det_sample,
     "split_assign": q_split_assign,

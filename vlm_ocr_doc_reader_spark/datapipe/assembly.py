@@ -155,3 +155,44 @@ def truncate_to_token_budget(df: DataFrame, max_tokens: int,
         F.array_join(kept, ". ").alias(text_col),
         n_kept_tokens.cast("int").alias("n_tokens_kept"),
         (n_fit < F.size(sents)).alias("was_truncated"))
+
+
+def chunk_text(df: DataFrame, chunk_tokens: int = 128, overlap: int = 32,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunks per document — the retrieval-ingest
+    precursor (each chunk is what gets embedded and indexed).  Windows
+    start every ``chunk_tokens - overlap`` tokens and span
+    ``chunk_tokens``; the final partial window is kept (never dropped
+    content), and an empty document yields no chunks.
+
+    Output: (id, chunk_idx int, start_tok int, n_tokens int, chunk string).
+
+    Distinct from ``operators.chunking`` (which batches ROWS for task
+    sizing): this splits each document's own token stream.
+
+    Scale shape: chunk boundaries and slices are per-row array
+    expressions over a sequence of window starts — zero shuffle, zero
+    data movement; a 100 TB corpus chunks in the scan stage."""
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_text: overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda x: x != "")
+    n = F.size(words)
+    # window starts: 1, 1+step, ... while start <= max(n - overlap, 1)
+    starts = F.when(n > 0, F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (s - 1).cast("int").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("int")
+             .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(words, s, chunk_tokens))
+             .alias("chunk")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(chunks).alias("c"))
+            .select("id", "c.chunk_idx", "c.start_tok", "c.n_tokens",
+                    "c.chunk"))
