@@ -49,3 +49,30 @@ def test_rotation_rule_window_coverage():
         f"({[os.path.basename(f) for f in files[-2:]]}) and no slot in "
         f"the first-50 window: {uncovered} — reorder QUERIES per the "
         "rotation rule")
+
+
+def test_no_oracle_emits_hazardous_dtypes():
+    """DuckDB DESCRIBE sweep over every oracle: no output column may be
+    HUGEINT/UHUGEINT (pandas materializes them as float64, so `78.0` vs
+    Spark's bigint `78` fails the driver's strict value hash — the exact
+    r4/r5 time_rollup red-row mechanism) or DECIMAL (pandas object dtype,
+    stringifies differently from float).  DuckDB types sum(BIGINT) as
+    HUGEINT, so every oracle summing a count must CAST back to BIGINT."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    bad = []
+    for name, sql in ORACLES.items():
+        for row in con.execute(f"DESCRIBE {sql}").fetchall():
+            col, typ = row[0], row[1]
+            t = str(typ).upper()
+            if "HUGEINT" in t or t.startswith("DECIMAL"):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        f"oracle output columns with hash-hazard dtypes (cast them in the "
+        f"SQL): {bad}")

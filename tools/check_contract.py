@@ -61,12 +61,22 @@ def _kind(dt) -> str:
 
 def compare(name: str, spark_df, duck_df) -> list[str]:
     issues = []
-    # dtype-category check BEFORE canonicalization (a strict driver may
-    # compare schemas); int/float blur from null-promotion is tolerated
+    # dtype-category check BEFORE canonicalization.  Any kind mismatch —
+    # INCLUDING int vs float — is a FAIL: the driver hashes raw
+    # toPandas/fetchdf values, so DuckDB HUGEINT->float64 (`78.0`) vs Spark
+    # bigint (`78`) hash-mismatches every row even though an Int64-coerced
+    # comparison looks identical.  Tolerating that blur here is exactly how
+    # a 96/96 local certification shipped over the red r4/r5 time_rollup
+    # driver rows: both sides see the same data, so genuine null-promotion
+    # promotes BOTH sides to float and kinds still match — a one-sided
+    # promotion is always oracle/query dtype drift.
     for c in set(spark_df.columns) & set(duck_df.columns):
         ka, kb = _kind(spark_df[c].dtype), _kind(duck_df[c].dtype)
-        if ka != kb and {ka, kb} != {"int", "float"}:
-            print(f"  WARN {name}.{c}: dtype kind spark={ka} duck={kb}")
+        if ka != kb:
+            issues.append(
+                f"col {c}: dtype kind spark={ka}({spark_df[c].dtype}) "
+                f"duck={kb}({duck_df[c].dtype}) — driver hashes raw "
+                f"dtypes; align the query/oracle cast")
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         issues.append(f"schema: spark={list(a.columns)} duck={list(b.columns)}")

@@ -1586,8 +1586,15 @@ WITH h AS (
          sum(CAST(value AS DECIMAL(18,6))) AS sum_value
   FROM events GROUP BY 1, 2
 ), d AS (
+  -- CAST is load-bearing: DuckDB types sum(BIGINT) as HUGEINT, the UNION
+  -- promotes the whole n_events column, and pandas materializes HUGEINT as
+  -- float64 (78.0) while Spark emits bigint (78) — the strict driver hash
+  -- then fails on every row (the r4/r5 time_rollup red rows).  This is the
+  -- only sum-of-a-count oracle in the registry; tests/test_contract_schemas
+  -- now sweeps all oracles for HUGEINT outputs.
   SELECT date_trunc('day', bucket) AS bucket, key,
-         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         sum(sum_value) AS sum_value
   FROM h GROUP BY 1, 2
 )
 SELECT 'hour' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_epoch,
@@ -2472,7 +2479,7 @@ WITH bounds AS (
   SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
          sum(cnt) OVER (PARTITION BY event_type) AS total
   FROM hist
-), q AS (SELECT unnest([0.5, 0.95]) AS q), pick AS (
+), q AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q), pick AS (
   SELECT cum.*, q.q, q.q * total AS target,
          row_number() OVER (PARTITION BY event_type, q.q ORDER BY bin) AS rn
   FROM cum JOIN q ON cum.c >= q.q * cum.total
