@@ -35,6 +35,15 @@ LOAD_REPARTITION: int | None = None
 
 def load(spark: SparkSession, sf_dir: str, name: str,
          lift: bool = False) -> DataFrame:
+    # Pin the session timezone on whatever session the DRIVER hands us:
+    # unix_timestamp()/date_trunc() over the NTZ test tables shift every
+    # epoch by the session offset, so a driver environment with a non-UTC
+    # default would redden every time-bucketing query at once while the
+    # DuckDB oracles (TZ-naive epoch()) stay put.  Runtime-settable conf;
+    # captured at expression analysis, so setting it before constructing
+    # the plan suffices.  tests/test_tz_independence.py proves the gate
+    # queries are byte-identical under America/New_York.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if LOAD_REPARTITION:
         return df.repartition(LOAD_REPARTITION)
