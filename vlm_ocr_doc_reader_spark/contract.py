@@ -587,20 +587,22 @@ FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 """
 
 
-# 3-gram shingles with parameterized alias/filter (dedup.shingles' DuckDB
-# twin); _DUCK_SHINGLES3 is the common doc_id < lim instantiation
+# 3-gram shingles with parameterized alias/source/filter (dedup.shingles'
+# DuckDB twin); _DUCK_SHINGLES3 is the common doc_id < lim instantiation.
+# {src} lets the merge_shards oracle shingle a derived CTE instead of the
+# raw documents table.
 _DUCK_SHINGLES3_WHERE = """
   SELECT DISTINCT doc_id AS {alias},
          array_to_string(words[i:i+2], ' ') AS shingle
   FROM (SELECT doc_id,
                string_split(lower(regexp_replace(trim(text), '\\s+', ' ',
                                                  'g')), ' ') AS words
-        FROM documents WHERE {where}) d,
+        FROM {src} WHERE {where}) d,
        LATERAL (SELECT unnest(generate_series(1,
                 CASE WHEN len(words) >= 3 THEN len(words) - 2 ELSE 1 END))
                 AS i) g
 """
-_DUCK_SHINGLES3 = _DUCK_SHINGLES3_WHERE.format(alias="id",
+_DUCK_SHINGLES3 = _DUCK_SHINGLES3_WHERE.format(alias="id", src="documents",
                                                where="doc_id < {lim}")
 
 
@@ -823,10 +825,11 @@ def q_decontam_overlap(spark, sf_dir):
 
 
 ORACLE_DECONTAM = f"""
-WITH tr AS ({_DUCK_SHINGLES3_WHERE.format(alias='train_id',
+WITH tr AS ({_DUCK_SHINGLES3_WHERE.format(alias='train_id', src='documents',
                                           where='doc_id < 150')}),
 te AS ({_DUCK_SHINGLES3_WHERE.format(
-    alias='test_id', where='doc_id >= 150 AND doc_id < 300')}),
+    alias='test_id', src='documents',
+    where='doc_id >= 150 AND doc_id < 300')}),
 common AS (SELECT shingle FROM tr GROUP BY shingle
            HAVING count(*) <= 1000),
 trc AS (SELECT tr.* FROM tr JOIN common USING (shingle))
@@ -949,19 +952,45 @@ FROM scored WHERE abs(robust_z) > 3.5
 
 
 def q_keyword_search(spark, sf_dir):
-    """Conjunctive keyword search: docs containing ALL query terms —
-    query-term filter FIRST, so cost scales with posting sizes."""
-    from .datapipe.search import keyword_search
+    """Conjunctive keyword search + keyword-in-context rendering in one
+    result frame: docs containing ALL query terms (query-term filter
+    FIRST, so cost scales with posting sizes), each matching doc carrying
+    its first ±3-token snippets around 'spark' (max 2 per doc; every
+    conjunctive match contains the term, so the inner join loses no doc).
+    Extended in r6 to gate `keyword_snippets` (pytest-only in r5)."""
+    from .datapipe.search import keyword_search, keyword_snippets
     d = load(spark, sf_dir, "documents", lift=True)
-    return keyword_search(d, ["spark", "table", "join"], mode="and")
+    hits = keyword_search(d, ["spark", "table", "join"], mode="and")
+    snips = keyword_snippets(d, "spark", window=3, max_per_doc=2)
+    return hits.join(snips, "id").select("id", "n_matched", "hit_pos",
+                                         "snippet")
 
 
 ORACLE_KEYWORD = f"""
 WITH toks AS ({_DUCK_TOKENS_WHERE.format(where='TRUE')}
+), hits AS (
+  SELECT id, count(DISTINCT token) AS n_matched
+  FROM toks WHERE token IN ('join', 'spark', 'table')
+  GROUP BY id HAVING count(DISTINCT token) = 3
+), words AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text), '\\s+',
+                                                       ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT id, w, i,
+         row_number() OVER (PARTITION BY id ORDER BY i) AS rn
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+  WHERE w[i] = 'spark'
+), snips AS (
+  SELECT id, CAST(i - 1 AS INTEGER) AS hit_pos,
+         array_to_string(list_slice(w, greatest(i - 3, 1),
+                                    least(i + 3, len(w))), ' ') AS snippet
+  FROM pos WHERE rn <= 2
 )
-SELECT id, count(DISTINCT token) AS n_matched
-FROM toks WHERE token IN ('join', 'spark', 'table')
-GROUP BY id HAVING count(DISTINCT token) = 3
+SELECT h.id, h.n_matched, s.hit_pos, s.snippet
+FROM hits h JOIN snips s USING (id)
 """
 
 
@@ -989,6 +1018,147 @@ SELECT t.token, CAST(c.df AS BIGINT) AS df,
        array_to_string(list_sort(list(t.id)), ',') AS postings
 FROM toks t JOIN counted c USING (token)
 GROUP BY t.token, c.df
+"""
+
+
+def q_truncate_chunk(spark, sf_dir):
+    """Context-window guard + retrieval-ingest chunking composed (r6 gate
+    entry for the r5 pytest-only pair): documents truncated to a 64-token
+    budget at sentence boundaries, then split into overlapping 32-token
+    windows (step 24); each chunk row carries the doc-level truncation
+    stats.  All per-row array expressions — the only exchange is the
+    tiny doc-stats rejoin, and that is broadcast."""
+    from .datapipe.assembly import chunk_text, truncate_to_token_budget
+    d = (load(spark, sf_dir, "documents", lift=True)
+         .filter(F.col("doc_id") < 300))
+    t = truncate_to_token_budget(d, max_tokens=64)
+    chunks = chunk_text(t, chunk_tokens=32, overlap=8)
+    stats = t.select(F.col("doc_id").alias("id"), "n_tokens_kept",
+                     "was_truncated")
+    return (chunks.join(F.broadcast(stats), "id")
+            .select("id", "chunk_idx", "start_tok", "n_tokens", "chunk",
+                    "n_tokens_kept", "was_truncated"))
+
+
+ORACLE_TRUNCATE_CHUNK = """
+WITH sents AS (
+  SELECT doc_id, string_split_regex(text, '\\. ') AS ss
+  FROM documents WHERE doc_id < 300
+), sc AS (
+  SELECT doc_id, i, ss[i] AS sent, len(ss) AS n_sents,
+         len(list_filter(string_split_regex(trim(ss[i]), '\\s+'),
+                         x -> x <> '')) AS ntok
+  FROM sents, LATERAL (SELECT unnest(generate_series(1, len(ss))) AS i) g
+), cum AS (
+  SELECT *, sum(ntok) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM sc
+), fit AS (
+  SELECT doc_id, n_sents,
+         greatest(count(*) FILTER (run <= 64), 1) AS n_fit,
+         coalesce(max(run) FILTER (run <= 64),
+                  max(ntok) FILTER (i = 1)) AS n_tokens_kept
+  FROM cum GROUP BY doc_id, n_sents
+), trunc AS (
+  SELECT c.doc_id,
+         coalesce(string_agg(c.sent, '. ' ORDER BY c.i)
+                  FILTER (c.i <= f.n_fit), '') AS ttext,
+         CAST(any_value(f.n_tokens_kept) AS INTEGER) AS n_tokens_kept,
+         any_value(f.n_fit < f.n_sents) AS was_truncated
+  FROM cum c JOIN fit f USING (doc_id) GROUP BY c.doc_id
+), tw AS (
+  SELECT doc_id AS id, n_tokens_kept, was_truncated,
+         list_filter(string_split_regex(trim(ttext), '\\s+'),
+                     x -> x <> '') AS w
+  FROM trunc
+)
+SELECT id, CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+       CAST(s - 1 AS INTEGER) AS start_tok,
+       CAST(least(32, len(w) - s + 1) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(w, s, least(s + 31, len(w))), ' ')
+         AS chunk,
+       n_tokens_kept, was_truncated
+FROM tw, LATERAL (SELECT unnest(generate_series(
+         1, greatest(len(w) - 8, 1), 24)) AS s) g
+WHERE len(w) > 0
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Per-doc mean bigram conditional log-prob under the corpus's own
+    bigram model (r6 gate entry for the r5 pytest-only scorer) — word
+    salad scores low even when every single token is common."""
+    from .datapipe.terms import bigram_logprob_score
+    d = (load(spark, sf_dir, "documents", lift=True)
+         .filter(F.col("doc_id") < 300))
+    return bigram_logprob_score(d)
+
+
+ORACLE_BIGRAM_LM = """
+WITH words AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text), '\\s+',
+                                                       ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents WHERE doc_id < 300
+), pairs AS (
+  SELECT id, w[i] AS x, w[i + 1] AS y, count(*) AS n
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+  GROUP BY id, x, y
+), uni AS (
+  SELECT x, count(*) AS cx
+  FROM (SELECT unnest(w) AS x FROM words) GROUP BY x
+), big AS (SELECT x, y, CAST(sum(n) AS BIGINT) AS cxy
+           FROM pairs GROUP BY x, y),
+vocab AS (SELECT count(*) AS v FROM uni)
+SELECT id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(n * ln((cxy + 1.0) / (cx + v))
+                           AS DECIMAL(20,8))) AS DOUBLE) / sum(n), 6)
+         AS avg_logprob
+FROM pairs JOIN big USING (x, y) JOIN uni USING (x) CROSS JOIN vocab
+GROUP BY id
+"""
+
+
+def q_merge_shards(spark, sf_dir):
+    """Sharded MinHash index maintenance (r6 gate entry for the r5
+    pytest-only merge): each document's text is split into two character
+    halves signed independently — shard B exists only for even ids, so
+    the one-sided passthrough is exercised — and the shards merge by
+    element-wise signature min.  The oracle recomputes signatures over
+    the UNION of both halves' shingles, so a green row proves the merge's
+    semantic claim (min of shard sigs == sig of the shingle union), not
+    just the zip_with mechanics."""
+    from .datapipe.dedup import merge_signature_shards, signature_table
+    d = (load(spark, sf_dir, "documents", lift=True)
+         .filter(F.col("doc_id") < 200))
+    half = (F.length("text") / 2).cast("int")
+    a = d.select("doc_id",
+                 F.col("text").substr(F.lit(1), half).alias("text"))
+    b = (d.filter(F.col("doc_id") % 2 == 0)
+         .select("doc_id",
+                 F.col("text").substr(half + 1, F.length("text"))
+                  .alias("text")))
+    merged = merge_signature_shards(signature_table(a, n_hashes=8, k=3),
+                                    signature_table(b, n_hashes=8, k=3))
+    return merged.select("id", F.posexplode("sig").alias("seed", "minhash"))
+
+
+_DUCK_HALF_SHINGLES = _DUCK_SHINGLES3_WHERE.format(
+    alias="id", src="halves", where="TRUE")
+
+ORACLE_MERGE_SHARDS = f"""
+WITH halves AS (
+  SELECT doc_id, substr(text, 1, length(text) // 2) AS text
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id, substr(text, length(text) // 2 + 1, length(text)) AS text
+  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+), toks AS ({_DUCK_HALF_SHINGLES})
+SELECT id, CAST(seed AS INTEGER) AS seed,
+       min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+FROM toks, (SELECT unnest(generate_series(0, 7)) AS seed) s
+GROUP BY id, seed
 """
 
 
@@ -2857,10 +3027,11 @@ def _oracle_incremental() -> str:
     GROUP BY id, seed)
   GROUP BY id, floor(seed / 2)
 """
-    new_toks = _DUCK_SHINGLES3_WHERE.format(alias="id",
+    new_toks = _DUCK_SHINGLES3_WHERE.format(alias="id", src="documents",
                                             where="doc_id < 100")
     idx_toks = _DUCK_SHINGLES3_WHERE.format(
-        alias="id", where="doc_id >= 100 AND doc_id < 300")
+        alias="id", src="documents",
+        where="doc_id >= 100 AND doc_id < 300")
     return f"""
 WITH nb AS ({band.format(toks=new_toks)}),
 ib AS ({band.format(toks=idx_toks)}),
@@ -3114,83 +3285,31 @@ QUERIES = {
     # FIRST 50 entries each round.  Keep here (a) every entry with no
     # official driver row last round, (b) every entry whose code or oracle
     # changed this round, (c) every entry added this round — so the union
-    # of any two consecutive rounds covers all queries and nothing ships
-    # two rounds on local-only green (the r4 time_rollup lesson).
-    # r6 TODO under rule (c): add oracled gate entries for
-    # datapipe.dedup.merge_signature_shards,
-    # datapipe.assembly.truncate_to_token_budget, and
-    # datapipe.search.keyword_snippets, and
-    # datapipe.terms.bigram_logprob_score, and
-    # datapipe.assembly.chunk_text (tests-only in r5).
-    # --- (a) no r4 driver row ---
-    "det_sample": q_det_sample,
-    "split_assign": q_split_assign,
-    "strat_sample": q_strat_sample,
-    "consistency": q_consistency,
-    "extract_flat": q_extract_flat,
-    "header_parse": q_header_parse,
-    "windowed_counts": q_windowed_counts,
-    "extract_pipeline": q_extract_pipeline,
-    "simhash": q_simhash,
-    "levels_verify": q_levels_verify,
-    "levels_verify_chunked": q_levels_verify_chunked,
-    "media_features": q_media_features,
-    "lsh_topk": q_lsh_topk,
-    "lsh_topk_multiband": q_lsh_topk_multiband,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
-    "entity_id": q_entity_id,
-    "normalize_vote": q_normalize_vote,
-    "digit_norm": q_digit_norm,
-    "ordered_concat": q_ordered_concat,
-    "union_dedupe": q_union_dedupe,
-    "status_counts": q_status_counts,
-    "distinct_users": q_distinct_users,
-    "count_if": q_count_if,
-    "first_per_key": q_first_per_key,
-    "page_normalize": q_page_normalize,
-    # --- (b) r4 red light + queries whose aggregation/oracle changed in
-    # r5 (exact-decimal accumulation) or whose operator was touched ---
-    "time_rollup": q_time_rollup,
-    "pricing_summary": q_pricing_summary,
-    "dim_join_rollup": q_dim_join_rollup,
-    "sessionize": q_sessionize,
-    "rollup_cube": q_rollup_cube,
-    "lm_score": q_lm_score,
-    "corpus_report": q_corpus_report,
-    # --- (c) new in r5 ---
-    "bm25": q_bm25,
-    "domain_cap": q_domain_cap,
-    "rolling_stats": q_rolling_stats,
-    "decayed_sum": q_decayed_sum,
-    "scd2": q_scd2,
-    "containment": q_containment,
-    "winsorize": q_winsorize,
-    "bigram_pmi": q_bigram_pmi,
-    "bpe_pairs": q_bpe_pairs,
-    "incremental_dedup": q_incremental_dedup,
-    "curriculum": q_curriculum,
-    "quality_clf": q_quality_clf,
-    "corpus_diff": q_corpus_diff,
-    "key_skew": q_key_skew,
-    "density_classify": q_density_classify,
-    "unicode_norm": q_unicode_norm,
-    "passage_dedup": q_passage_dedup,
-    # ================ driver window boundary (50) ================
-    # sanitize, fence_strip, json_extract (r01-r03 green, untouched
-    # parsing/formatting functions) yielded their slots to the three
-    # late-round additions above; all re-enter the r6 window under
-    # rule (a)
+    # of round N-1's driver rows and round N's window covers all queries
+    # and nothing changed/new ships on local-only green.  Registry size
+    # must stay <= 100 (2 x window) or the invariant is unsatisfiable;
+    # r6 sits at 99 — new capability should extend existing entries
+    # (as keyword_search absorbed keyword_snippets) before adding rows.
+    # r6 window = the 46 entries without an r5 driver row + time_rollup
+    # (r5 red, oracle HUGEINT fix) + the 3 new composed entries.  Exactly
+    # 50 — zero slack, which is why the winsorize quantile-rounding
+    # hardening (ADVICE r5, low) is DEFERRED to r7 when winsorize
+    # re-enters the window under rule (a).
+    # --- no driver row since r3 (r5 displacement, judge finding #2) ---
     "sanitize": q_sanitize,
     "fence_strip": q_fence_strip,
     "json_extract": q_json_extract,
-    # Entries displaced from the window to fit the 14 r5 additions, in
-    # rising-risk order: curation (r4 green, behavior unchanged),
-    # ivf_topk (r4 green; null-cosine coalesce unreachable on gate data,
-    # exact-verified at sf0.001+sf0.01), jaccard (pure passthrough
-    # refactor, exact-verified both SFs), funnel (r4 green; driver-side
-    # report rebuild exact-verified both SFs).  All four re-enter the r6
-    # window under rule (b) if anything touches them again.
+    # --- (b) r5 red row: oracle day-level CAST(sum AS BIGINT) fix ---
+    "time_rollup": q_time_rollup,
+    # --- (c) new r6 gate entries for the r5 pytest-only operators ---
+    "truncate_chunk": q_truncate_chunk,
+    "bigram_lm": q_bigram_lm,
+    "merge_shards": q_merge_shards,
+    # --- (b) changed in r6: keyword_search absorbed keyword_snippets;
+    #     hist_quantiles oracle q-literal cast DECIMAL->DOUBLE ---
+    "keyword_search": q_keyword_search,
+    "hist_quantiles": q_hist_quantiles,
+    # --- (a) remaining entries without an r5 driver row ---
     "curation": q_curation,
     "ivf_topk": q_ivf_topk,
     "jaccard": q_jaccard,
@@ -3222,19 +3341,70 @@ QUERIES = {
     "dup_components": q_dup_components,
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
-    "hist_quantiles": q_hist_quantiles,
     "decontam_overlap": q_decontam_overlap,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "weighted_sample": q_weighted_sample,
-    "keyword_search": q_keyword_search,
     "inverted_postings": q_inverted_postings,
     "robust_outliers": q_robust_outliers,
     "doc_structure": q_doc_structure,
     "full_description": q_full_description,
     "pii_redact": q_pii_redact,
     "repetition": q_repetition,
+    # ================ driver window boundary (50) ================
+    # everything below holds a GREEN r5 driver row and is unchanged in
+    # r6; all re-enter the r7 window under rule (a)
+    "det_sample": q_det_sample,
+    "split_assign": q_split_assign,
+    "strat_sample": q_strat_sample,
+    "consistency": q_consistency,
+    "extract_flat": q_extract_flat,
+    "header_parse": q_header_parse,
+    "windowed_counts": q_windowed_counts,
+    "extract_pipeline": q_extract_pipeline,
+    "simhash": q_simhash,
+    "levels_verify": q_levels_verify,
+    "levels_verify_chunked": q_levels_verify_chunked,
+    "media_features": q_media_features,
+    "lsh_topk": q_lsh_topk,
+    "lsh_topk_multiband": q_lsh_topk_multiband,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "entity_id": q_entity_id,
+    "normalize_vote": q_normalize_vote,
+    "digit_norm": q_digit_norm,
+    "ordered_concat": q_ordered_concat,
+    "union_dedupe": q_union_dedupe,
+    "status_counts": q_status_counts,
+    "distinct_users": q_distinct_users,
+    "count_if": q_count_if,
+    "first_per_key": q_first_per_key,
+    "page_normalize": q_page_normalize,
+    "pricing_summary": q_pricing_summary,
+    "dim_join_rollup": q_dim_join_rollup,
+    "sessionize": q_sessionize,
+    "rollup_cube": q_rollup_cube,
+    "lm_score": q_lm_score,
+    "corpus_report": q_corpus_report,
+    "bm25": q_bm25,
+    "domain_cap": q_domain_cap,
+    "rolling_stats": q_rolling_stats,
+    "decayed_sum": q_decayed_sum,
+    "scd2": q_scd2,
+    "containment": q_containment,
+    "winsorize": q_winsorize,
+    "bigram_pmi": q_bigram_pmi,
+    "bpe_pairs": q_bpe_pairs,
+    "incremental_dedup": q_incremental_dedup,
+    "curriculum": q_curriculum,
+    "quality_clf": q_quality_clf,
+    "corpus_diff": q_corpus_diff,
+    "key_skew": q_key_skew,
+    "density_classify": q_density_classify,
+    "unicode_norm": q_unicode_norm,
+    "passage_dedup": q_passage_dedup,
 }
+
 
 ORACLES = {
     "extract_text": oracle_extract_text(),
@@ -3301,6 +3471,9 @@ ORACLES = {
     "corpus_report": _oracle_corpus_report(),
     "weighted_sample": ORACLE_WSAMPLE,
     "keyword_search": ORACLE_KEYWORD,
+    "truncate_chunk": ORACLE_TRUNCATE_CHUNK,
+    "bigram_lm": ORACLE_BIGRAM_LM,
+    "merge_shards": ORACLE_MERGE_SHARDS,
     "inverted_postings": ORACLE_POSTINGS,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "funnel": ORACLE_FUNNEL,

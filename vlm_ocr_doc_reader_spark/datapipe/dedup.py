@@ -115,6 +115,17 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 16, k: int = 3,
                     F.posexplode("_sig").alias("seed", "minhash")))
 
 
+def signature_table(df: DataFrame, n_hashes: int = 16, k: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Array-form MinHash signature per doc: (id, sig array<string>) —
+    the shape ``merge_signature_shards`` consumes and the sharded-ingest
+    index stores.  Same hashes as ``minhash_signatures`` (which is the
+    posexploded view of this), same zero-shuffle narrow plan."""
+    return df.select(F.col(id_col).alias("id"),
+                     _signature_array(k, n_hashes, text_col).alias("sig"))
+
+
 def minhash_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     """LSH banding from an exploded (id, seed, minhash) signature frame:
     band_hash = md5 of the concatenated minhashes of the band.
