@@ -67,5 +67,82 @@ def test_compact_rollup_preserves_totals(spark, tmp_path):
     before = _canon(read_rollup(spark, table))
     compact_rollup(spark, table)
     parts = [d for d in os.listdir(table) if d.startswith("batch_id=")]
-    assert parts == ["batch_id=compacted"]
+    assert parts == ["batch_id=compacted_g0"]
+    assert _canon(read_rollup(spark, table)) == before
+    # second compaction rolls the generation forward
+    spark.createDataFrame(_events(300, 25, 4), SCHEMA) \
+        .write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, ckpt)
+    before = _canon(read_rollup(spark, table))
+    compact_rollup(spark, table)
+    parts = [d for d in os.listdir(table) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=compacted_g1"]
+    assert _canon(read_rollup(spark, table)) == before
+
+
+def test_compact_crash_before_gc_does_not_double_count(spark, tmp_path):
+    """r5 advice window 1: a crash between publishing the compacted
+    generation and deleting the originals leaves BOTH on disk.  Readers
+    must use the generation's manifest to skip the surviving partials."""
+    import shutil
+
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    spark.createDataFrame(_events(0, 30, 1), SCHEMA) \
+        .write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, str(tmp_path / "ckpt"))
+    before = _canon(read_rollup(spark, table))
+    originals = {d: os.path.join(str(tmp_path / "bak"), d)
+                 for d in os.listdir(table) if d.startswith("batch_id=")}
+    for d, bak in originals.items():
+        shutil.copytree(os.path.join(table, d), bak)
+    compact_rollup(spark, table)
+    # resurrect the originals: the on-disk state a crash-before-GC leaves
+    for d, bak in originals.items():
+        shutil.copytree(bak, os.path.join(table, d))
+    assert _canon(read_rollup(spark, table)) == before
+    # and the NEXT compaction must not fold them back in either
+    compact_rollup(spark, table)
+    assert _canon(read_rollup(spark, table)) == before
+
+
+def test_replay_of_folded_batch_does_not_double_count(spark, tmp_path):
+    """r5 advice window 2: a checkpoint replay rewrites a batch whose
+    partial was already folded into a compacted generation.  The manifest
+    must make readers skip the rewritten partial."""
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    spark.createDataFrame(_events(0, 30, 1), SCHEMA) \
+        .write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, str(tmp_path / "ckpt1"))
+    before = _canon(read_rollup(spark, table))
+    compact_rollup(spark, table)
+    # fresh checkpoint, same input files -> batch 0 replays and rewrites
+    # batch_id=0 NEXT TO the compacted generation that already folded it
+    run_streaming_rollup(spark, inp, table, str(tmp_path / "ckpt2"))
+    assert "batch_id=0" in os.listdir(table)
+    assert _canon(read_rollup(spark, table)) == before
+
+
+def test_uncommitted_generation_is_ignored_and_collected(spark, tmp_path):
+    """A generation without its manifest (crash mid-compaction, before the
+    commit marker) must be invisible to readers and swept by the next
+    compaction."""
+    inp = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    spark.createDataFrame(_events(0, 30, 1), SCHEMA) \
+        .write.mode("append").parquet(inp)
+    run_streaming_rollup(spark, inp, table, str(tmp_path / "ckpt"))
+    before = _canon(read_rollup(spark, table))
+    compact_rollup(spark, table)
+    # fake a crashed next compaction: generation dir, no manifest
+    crashed = os.path.join(table, "batch_id=compacted_g1")
+    os.makedirs(crashed)
+    assert _canon(read_rollup(spark, table)) == before
+    # the next compaction reuses the crashed generation number: it must
+    # overwrite the remnant, commit it, and leave it as the only partition
+    compact_rollup(spark, table)
+    parts = [d for d in os.listdir(table) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=compacted_g1"]
+    assert os.path.exists(os.path.join(crashed, "_folded.json"))
     assert _canon(read_rollup(spark, table)) == before
