@@ -138,3 +138,22 @@ def test_density_classify_after_link_branch_is_stricter(spark):
     assert out[("a", 1)] is False
     # ...but plenty after an ordinary text block (> 16)
     assert out[("b", 1)] is True
+
+
+def test_img_inside_boilerplate_container_is_boilerplate(spark):
+    """A nav logo or footer tracking pixel must NOT survive the strip as
+    kind='image' (density_classify keeps image spans unconditionally —
+    the r5 advice leak): inside script/style/nav/header/footer/aside the
+    <img> becomes a boilerplate span (media_ref still recorded for
+    lineage), while a body <img> stays kind='image'."""
+    page = ('<html><body><nav><img src="logo.png">Home</nav>'
+            '<p>Real content paragraph with enough words to keep.</p>'
+            '<img src="fig.png">'
+            '<footer><img src="pixel.gif"></footer></body></html>')
+    spans = _spans(spark, [("d", page)])["d"]
+    by_ref = {s[2]: s[0] for s in spans if s[2] is not None}
+    assert by_ref["logo.png"] == "boilerplate"
+    assert by_ref["pixel.gif"] == "boilerplate"
+    assert by_ref["fig.png"] == "image"
+    # and the boilerplate image spans carry no text payload
+    assert all(s[1] is None for s in spans if s[2] is not None)

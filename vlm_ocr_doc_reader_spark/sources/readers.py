@@ -261,7 +261,14 @@ def html_to_spans(html_docs: DataFrame, id_col: str = "doc_id",
                 if tag == "img":
                     self._flush()
                     src = dict(attrs).get("src") or "img"
-                    self.spans.append(("image", None, src, self.off))
+                    # an image inside a boilerplate container (nav logo,
+                    # footer tracking pixel) is boilerplate like the text
+                    # around it — density_classify keeps image spans
+                    # unconditionally, so emitting kind='image' here would
+                    # leak it past the strip (r5 advice finding)
+                    kind = "boilerplate" if self.boiler_depth > 0 \
+                        else "image"
+                    self.spans.append((kind, None, src, self.off))
                     self.off += 1
                     return
                 if tag == "br":
