@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "incremental_dedup", "curriculum", "quality_clf", "corpus_diff",
     "key_skew", "ivf_topk", "near_dup_lsh", "simhash", "windowed_counts",
     "density_classify", "unicode_norm", "passage_dedup",
+    "truncate_chunk", "bigram_lm", "merge_shards",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published
@@ -287,6 +288,31 @@ def main() -> None:
         extras["query_medians"] = medians
         extras["query_spread"] = spread
 
+        # --- curation warm/cold split (r5 verdict item 5: at ~16 s cold
+        # it is ~18% of the gate bench and the r4->r5 delta confused the
+        # measurement's author).  COLD (the headline, and what `timings`
+        # publishes) = interleaved min with persisted deps released
+        # between passes — what a fresh job pays for the five composed
+        # operators.  WARM = an immediate re-run while the previous run's
+        # persisted intermediates are still attached: Spark's CacheManager
+        # matches the identical logical plans, so this is what a resident
+        # pipeline pays per refresh (and what r4 accidentally measured).
+        t0 = time.time()
+        QUERIES["curation"](spark, SF_DIR).write.format("noop") \
+            .mode("overwrite").save()
+        all_times["curation"].append(time.time() - t0)  # extra cold sample
+        t0 = time.time()
+        QUERIES["curation"](spark, SF_DIR).write.format("noop") \
+            .mode("overwrite").save()
+        extras["curation_warm_sec"] = round(time.time() - t0, 3)
+        release_all_cached()
+        # fold the extra cold sample into curation's published stats
+        timings["curation"] = round(min(all_times["curation"]), 3)
+        medians["curation"] = round(_st.median(all_times["curation"]), 3)
+        spread["curation"] = [round(t, 3)
+                              for t in sorted(all_times["curation"])]
+        extras["curation_cold_sec"] = timings["curation"]
+
         # verify's sample fan-out is one corpus scan regardless of the axis
         # count (explode over a persisted pass) — evidence: wall time must
         # be ~flat in len(axes)
@@ -346,6 +372,8 @@ def main() -> None:
         "bench_total_sec": total,
         "query_runs": extras.get("query_runs"),
         "query_protocol": extras.get("query_protocol"),
+        "curation_cold_sec": extras.get("curation_cold_sec"),
+        "curation_warm_sec": extras.get("curation_warm_sec"),
     }
     if DO_SCALING:
         s = extras["scaling"]
@@ -432,6 +460,18 @@ def _write_bench_md(r: dict) -> None:
         s = sp.get(q)
         lines.append(f"| {q} | {t} | {meds.get(q, '—')} | "
                      f"{s if s else '—'} |")
+    if r.get("curation_warm_sec") is not None:
+        lines += [
+            "",
+            f"`curation` cold vs warm: **{r.get('curation_cold_sec')} s "
+            f"cold** (headline — persisted intermediates released between "
+            f"passes; the price of five composed operators on a fresh "
+            f"job) vs **{r.get('curation_warm_sec')} s warm** (immediate "
+            f"re-run with the previous pass's persisted intermediates "
+            f"attached — CacheManager matches the identical plans; what a "
+            f"resident pipeline pays per refresh).  r4 accidentally "
+            f"published warm numbers for persisting queries; from r6 both "
+            f"are explicit and COLD is the published column above."]
     if "levels_verify_axes2" in r["queries"]:
         lines += ["",
                   "`levels_verify_axes2` vs `levels_verify_axes8`: verify "

@@ -220,3 +220,54 @@ def test_curriculum_has_no_global_sort(spark):
     tree = p.split("== Physical Plan ==")[1]
     assert "rangepartitioning" not in tree  # the ntile shape we refused
     assert "Window" not in tree
+
+
+def test_truncate_chunk_single_broadcast_join(spark):
+    """truncate+chunk are pure per-row array expressions; the only
+    exchange in the gate entry is the broadcast of the tiny doc-stats
+    side — no shuffle exchange anywhere (r6 scale claim)."""
+    from vlm_ocr_doc_reader_spark.contract import q_truncate_chunk
+    p = plan(q_truncate_chunk(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_chunk_text_is_narrow(spark):
+    """chunk_text alone: zero exchanges of any kind — chunks materialize
+    in the scan stage."""
+    from vlm_ocr_doc_reader_spark.datapipe.assembly import chunk_text
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(chunk_text(d, chunk_tokens=32, overlap=8))
+    assert "Exchange" not in p
+
+
+def test_bigram_lm_count_frames_broadcast(spark):
+    """The bigram/unigram/vocab count frames must broadcast into the
+    scoring joins (vocabulary-sized), never shuffle the doc-pair side
+    into a sort-merge join."""
+    from vlm_ocr_doc_reader_spark.datapipe.terms import bigram_logprob_score
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(bigram_logprob_score(d))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab count
+
+
+def test_merge_shards_one_equi_join(spark):
+    """Signature-shard merge: exactly one join (full-outer on id), and the
+    signature min is a narrow zip_with — no explode, no aggregation."""
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (
+        merge_signature_shards, signature_table)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = signature_table(d.filter(F.col("doc_id") < 50), n_hashes=8)
+    b = signature_table(d.filter(F.col("doc_id") >= 50), n_hashes=8)
+    p = plan(merge_signature_shards(a, b))
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    import re
+    # count node headers "(n) <Join>" — the formatted dump repeats each
+    # node in the tree sketch AND the details section
+    n_joins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p))
+    assert n_joins == 1
+    assert "HashAggregate" not in p and "Generate" not in p
