@@ -2924,8 +2924,10 @@ def q_winsorize(spark, sf_dir):
 
 ORACLE_WINSORIZE = """
 WITH bounds AS (
-  SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
-         quantile_cont(value, 0.95) AS p_hi
+  -- bounds rounded to 6dp BEFORE clamping, mirroring winsorized_stats:
+  -- a last-ulp quantile_cont vs percentile() drift must not feed the clamp
+  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS p_lo,
+         round(quantile_cont(value, 0.95), 6) AS p_hi
   FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT e.event_type, count(*) AS n,

@@ -75,13 +75,19 @@ def winsorized_stats(df: DataFrame, col: str,
     frame back onto the rows, one final hash aggregate — rows shuffle
     once, for the group key.  The clamped values accumulate in DECIMAL so
     the mean is partition-invariant (clamping makes values bounded, so
-    the decimal cast is always exact-in-range)."""
+    the decimal cast is always exact-in-range).
+
+    The quantile bounds are rounded to 6 decimals BEFORE clamping (and the
+    oracle does the same): Spark ``percentile`` and DuckDB ``quantile_cont``
+    both linearly interpolate but can disagree in the last ulp, and an
+    unrounded bound feeds every clamped value — the same cross-engine
+    rounding-boundary class as the r4 time_rollup incident."""
     groups = group_cols or []
     x = F.col(col).cast("double")
     base = df.filter(x.isNotNull())
     bounds = base.groupBy(*groups).agg(
-        F.expr(f"percentile({col}, {lo})").alias("p_lo"),
-        F.expr(f"percentile({col}, {hi})").alias("p_hi"))
+        F.round(F.expr(f"percentile({col}, {lo})"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile({col}, {hi})"), 6).alias("p_hi"))
     joined = (base.join(F.broadcast(bounds), groups) if groups
               else base.crossJoin(F.broadcast(bounds)))
     clamped = F.least(F.greatest(x, F.col("p_lo")), F.col("p_hi"))
