@@ -3294,9 +3294,11 @@ QUERIES = {
     # (as keyword_search absorbed keyword_snippets) before adding rows.
     # r6 window = the 46 entries without an r5 driver row + time_rollup
     # (r5 red, oracle HUGEINT fix) + the 3 new composed entries.  Exactly
-    # 50 — zero slack, which is why the winsorize quantile-rounding
-    # hardening (ADVICE r5, low) is DEFERRED to r7 when winsorize
-    # re-enters the window under rule (a).
+    # 50 — zero slack.  The winsorize quantile-rounding hardening (ADVICE
+    # r5, low) therefore landed OUTSIDE the window: it is certified this
+    # round by the dtype-strict local gate (symmetric round-6 on both
+    # engines' bounds; rows/schema unchanged; sf0.01 green) and MUST be
+    # front-loaded into the r7 window under rule (b).
     # --- no driver row since r3 (r5 displacement, judge finding #2) ---
     "sanitize": q_sanitize,
     "fence_strip": q_fence_strip,
