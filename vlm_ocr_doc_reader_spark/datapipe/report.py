@@ -71,3 +71,35 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
               .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
               .otherwise("changed"))
     return j.select(F.col("id").alias(id_col), status.alias("status"))
+
+
+def gini_concentration(df: DataFrame, key_col: str = "source") -> DataFrame:
+    """Gini coefficient of the corpus's per-key document counts — the
+    source-concentration monitor (0 = every source contributes equally,
+    ->1 = one source dominates; data cards quote it next to the top-k
+    source table, and a jump between snapshots means the crawl mix moved).
+
+    Output: one row (n_keys, n_docs, gini) via the standard ordered form
+    G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n over counts x_i
+    sorted ascending (ties broken by key, so ranking is deterministic).
+
+    Scale shape: the corpus reduces to per-key counts first (one
+    map-side-combinable hash aggregate — the only shuffle of data); the
+    ordered-rank window runs over the reduced key frame (thousands of
+    sources, not billions of rows; the documented single-partition
+    window tradeoff shared with ks_statistic).  All sums are exact
+    integer arithmetic — one rounded division at the end.
+    """
+    from pyspark.sql import Window
+    counts = (df.filter(F.col(key_col).isNotNull())
+              .groupBy(key_col).agg(F.count("*").alias("x")))
+    ranked = counts.select(
+        "x", F.row_number().over(
+            Window.orderBy("x", key_col)).alias("i"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("x").cast("bigint").alias("n_docs"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*"), 6).alias("gini"))

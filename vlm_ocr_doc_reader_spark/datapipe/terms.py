@@ -258,3 +258,57 @@ def bigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
                  F.round(F.sum((F.col("n") * logp).cast("decimal(20,8)"))
                           .cast("double") / F.sum("n"), 6)
                   .alias("avg_logprob")))
+
+
+def zipf_slope(df: DataFrame, k: int = 200, text_col: str = "text",
+               min_count: int = 1) -> DataFrame:
+    """Zipf rank-frequency slope over the top-k vocabulary: the OLS slope
+    of ln(freq) on ln(rank).  Natural language sits near -1; a corpus
+    drifting toward -0.5 (flat: templated/boilerplate soup) or -2
+    (head-heavy: repeated spam) fails the pre-training smell test — this
+    is the one-number vocabulary-health monitor.
+
+    Output: one row (n_terms, slope, intercept), both coefficients
+    rounded to 6dp.
+
+    Scale shape: the corpus reduces to (token, count) via one map-side-
+    combinable aggregate; top-k compiles to TakeOrderedAndProject (never
+    a global sort); ranking and the OLS sums run on k rows.  The ln()
+    terms are rounded to 12dp and accumulated in DECIMAL so the k-row
+    sums are order-invariant (the float-agg determinism rule) — the
+    DuckDB oracle mirrors the same rounding and accumulation exactly.
+    """
+    counts = (df
+              .select(F.explode(F.filter(
+                  F.split(_norm(F.col(text_col)), " "),
+                  lambda x: x != "")).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("c"))
+              .filter(F.col("c") >= min_count))
+    topk = counts.orderBy(F.col("c").desc(), "token").limit(k)
+    ranked = topk.select(
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "token")).alias("rank"),
+        "c")
+    # products are taken in double and re-rounded to 12dp BEFORE the
+    # decimal cast: decimal x decimal at scale 12 exceeds precision 38
+    # and Spark/DuckDB reduce the scale differently — double multiply of
+    # identical rounded doubles is IEEE-identical on both engines
+    lx = F.round(F.log(F.col("rank").cast("double")), 12)
+    ly = F.round(F.log(F.col("c").cast("double")), 12)
+    dec = "decimal(28,12)"
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum(lx.cast(dec)).alias("sx"),
+        F.sum(ly.cast(dec)).alias("sy"),
+        F.sum(F.round(lx * ly, 12).cast(dec)).alias("sxy"),
+        F.sum(F.round(lx * lx, 12).cast(dec)).alias("sxx"))
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"))

@@ -185,3 +185,80 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (q.withColumn("clf_score", F.round(score, 6).cast("double"))
             .withColumn("clf_keep", F.col("clf_score") >= threshold))
+
+
+# Fixed scoring alphabet for char_entropy: per-character frequencies are
+# measured over exactly these 37 symbols (lowercased letters, digits,
+# space) so the counts come from len-diff expressions — narrow, no
+# explode — and the entropy is a portable constant-alphabet quantity.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Shannon entropy (nats) of the per-document character distribution
+    over :data:`ENTROPY_ALPHABET` — the classic gibberish/compression
+    screen: natural prose sits ~2.5-3.2, repeated-char junk near 0,
+    base64/hex blobs near the alphabet ceiling.
+
+    Output: (id, n_alpha, char_entropy) — n_alpha is the number of
+    in-alphabet characters; entropy is null when a document has none.
+
+    Scale shape: one length-diff count expression per alphabet symbol
+    (37 narrow JVM expressions), an array fold for the total and the
+    entropy — zero shuffle, zero Python, trivially partition-invariant.
+    Counts are exact integers; entropy is one rounded double per row
+    (ln() cross-engine equality pinned by the gate, lm_score precedent).
+    """
+    low = F.lower(F.col(text_col))
+    counts = F.array(*[
+        (F.length(low) - F.length(F.replace(low, F.lit(ch), F.lit(""))))
+        for ch in ENTROPY_ALPHABET])
+    total = F.aggregate("_counts", F.lit(0), lambda a, x: a + x)
+    ent = F.aggregate(
+        "_counts", F.lit(0.0),
+        lambda a, c: a + F.when(
+            c > 0,
+            -(c / F.col("n_alpha")) * F.log(c / F.col("n_alpha")))
+        .otherwise(F.lit(0.0)))
+    return (df
+            .withColumn("_counts", counts)
+            .withColumn("n_alpha", total.cast("bigint"))
+            .withColumn("char_entropy",
+                        F.when(F.col("n_alpha") > 0, F.round(ent, 6)))
+            .select(F.col(id_col).alias("id"), "n_alpha", "char_entropy"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch-style reading-ease score from deterministic text counts.
+
+    flesch = 206.835 - 1.015 * (words/sentences) - 84.6 * (syl/words),
+    with sentences = count of '[.!?]+' terminator runs (min 1) and the
+    standard vowel-group syllable proxy syl = max(vowel_runs, words)
+    (every word counts at least one syllable).  A fixed published
+    formula over exact counts — not a model — so it is cross-engine
+    oracle-able; null score for wordless documents.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch).
+
+    Scale shape: three regexp_extract_all counts per row, pure narrow
+    Catalyst, zero shuffle.
+    """
+    t = F.col(text_col)
+    n_words = token_count_col(t).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1)).cast("bigint")
+    vowel_runs = F.size(F.expr(
+        f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    n_syl = F.greatest(vowel_runs.cast("bigint"), n_words)
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (n_words / n_sent)
+              - F.lit(84.6) * (n_syl / n_words))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.when(n_words > 0, F.round(flesch, 6)).alias("flesch"))
