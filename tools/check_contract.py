@@ -111,11 +111,21 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from vlm_ocr_doc_reader_spark.contract import ORACLES, QUERIES
     from vlm_ocr_doc_reader_spark.sources.session import get_spark
+
+    if staged:
+        # append the r7-staged entries so the next window is certified
+        # with the identical comparator before the registry flip
+        from vlm_ocr_doc_reader_spark.contract import (STAGED_ORACLES,
+                                                       STAGED_QUERIES)
+        QUERIES = {**QUERIES, **STAGED_QUERIES}
+        ORACLES = {**ORACLES, **STAGED_ORACLES}
 
     spark = get_spark(master="local[8]", shuffle_partitions=16,
                       extra_conf={"spark.ui.enabled": "false"})

@@ -3511,3 +3511,519 @@ ORACLES = {
     "unicode_norm": ORACLE_UNICODE_NORM,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
 }
+
+
+# ===========================================================================
+# STAGED r7 gate entries (NOT in QUERIES/ORACLES — the r6 window is frozen
+# at 50 and the registry at 99/100).  Each pair below is certified by
+# tests/test_staged_contract.py with the exact driver comparator
+# (tools/check_contract.compare, dtype-strict) at sf0.001, and by
+# `python tools/check_contract.py <sf_dir> --staged` at any SF — so the
+# r7 front-load is a pure dict move, not new code.  Composition keeps the
+# registry inside the 2x-window capacity rule: 5 entries cover 16 staged
+# operators.
+# ===========================================================================
+
+_BOILER_SENT = ("This work is licensed for research use only and must "
+                "retain this notice in all copies.")
+
+
+def q_drift_report(spark, sf_dir):
+    """Composed corpus drift monitor: PSI (n_chars, reference-quantile
+    bins), two-sample KS (n_chars) and chi-square (lang) between the
+    even-doc_id and odd-doc_id halves of the corpus, as one tall
+    (metric, key, n_ref, n_cur, value) frame."""
+    from .datapipe.drift import chi_square_drift, ks_statistic, psi
+    d = load(spark, sf_dir, "documents", lift=True)
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    p = psi(ref, cur, "n_chars").select(
+        F.lit("psi").alias("metric"),
+        F.col("bin").cast("string").alias("key"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("psi_term").cast("double").alias("value"))
+    k = ks_statistic(ref, cur, "n_chars").select(
+        F.lit("ks").alias("metric"), F.lit("d_stat").alias("key"),
+        F.col("n_a").alias("n_ref"), F.col("n_b").alias("n_cur"),
+        F.col("d_stat").cast("double").alias("value"))
+    c = chi_square_drift(ref, cur, "lang").select(
+        F.lit("chi2").alias("metric"), F.col("category").alias("key"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("chi2_term").cast("double").alias("value"))
+    return p.unionByName(k).unionByName(c)
+
+
+ORACLE_DRIFT_REPORT = """
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+e AS (
+  SELECT list_transform(
+      quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      x -> round(x, 6)) AS qs
+  FROM ref WHERE n_chars IS NOT NULL
+), rc AS (
+  SELECT len(list_filter(e.qs, q -> r.n_chars > q)) AS bin, count(*) AS n
+  FROM ref r, e WHERE r.n_chars IS NOT NULL GROUP BY 1
+), cc AS (
+  SELECT len(list_filter(e.qs, q -> c.n_chars > q)) AS bin, count(*) AS n
+  FROM cur c, e WHERE c.n_chars IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM ref WHERE n_chars IS NOT NULL) AS t_ref,
+         (SELECT count(*) FROM cur WHERE n_chars IS NOT NULL) AS t_cur
+), bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+psi_rows AS (
+  SELECT 'psi' AS metric, CAST(b.bin AS VARCHAR) AS key,
+         CAST(coalesce(rc.n, 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur,
+         round(((coalesce(cc.n, 0) + 1.0) / (t.t_cur + 10)
+                - (coalesce(rc.n, 0) + 1.0) / (t.t_ref + 10))
+               * ln(((coalesce(cc.n, 0) + 1.0) / (t.t_cur + 10))
+                    / ((coalesce(rc.n, 0) + 1.0) / (t.t_ref + 10))), 6)
+           AS value
+  FROM bins b LEFT JOIN rc ON rc.bin = b.bin
+              LEFT JOIN cc ON cc.bin = b.bin, tot t
+), ac AS (
+  SELECT n_chars AS v, count(*) AS ca FROM ref
+  WHERE n_chars IS NOT NULL GROUP BY 1
+), bc AS (
+  SELECT n_chars AS v, count(*) AS cb FROM cur
+  WHERE n_chars IS NOT NULL GROUP BY 1
+), mg AS (
+  SELECT coalesce(ac.v, bc.v) AS v, coalesce(ca, 0) AS ca,
+         coalesce(cb, 0) AS cb
+  FROM ac FULL OUTER JOIN bc ON ac.v = bc.v
+), cm AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM mg
+), ks_row AS (
+  SELECT 'ks' AS metric, 'd_stat' AS key,
+         CAST(max(na) AS BIGINT) AS n_ref,
+         CAST(max(nb) AS BIGINT) AS n_cur,
+         round(max(abs(cum_a / CAST(na AS DOUBLE)
+                       - cum_b / CAST(nb AS DOUBLE))), 6) AS value
+  FROM cm
+), rc2 AS (
+  SELECT lang AS category, count(*) AS n FROM ref
+  WHERE lang IS NOT NULL GROUP BY 1
+), cc2 AS (
+  SELECT lang AS category, count(*) AS n FROM cur
+  WHERE lang IS NOT NULL GROUP BY 1
+), mg2 AS (
+  SELECT coalesce(r.category, c.category) AS category,
+         coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+  FROM rc2 r FULL OUTER JOIN cc2 c ON r.category = c.category
+), t2 AS (
+  SELECT count(*) AS k, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM mg2
+), chi_rows AS (
+  SELECT 'chi2' AS metric, category AS key,
+         CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         round(pow(n_cur - (n_ref + 1.0) / (t.t_ref + t.k) * t.t_cur, 2)
+               / ((n_ref + 1.0) / (t.t_ref + t.k) * t.t_cur), 6) AS value
+  FROM mg2, t2 t
+)
+SELECT * FROM psi_rows
+UNION ALL SELECT * FROM ks_row
+UNION ALL SELECT * FROM chi_rows
+"""
+
+
+def q_gopher_report(spark, sf_dir):
+    """Gopher-rule ablation report over the documents corpus: per named
+    rule, documents failing it and documents failing it uniquely."""
+    from .datapipe.docrules import gopher_rules, rule_report
+    d = load(spark, sf_dir, "documents", lift=True)
+    return rule_report(gopher_rules(d)).orderBy("rule")
+
+
+ORACLE_GOPHER_REPORT = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), w AS (
+  SELECT *,
+         CASE WHEN trim(t) = '' THEN []
+              ELSE string_split_regex(trim(t), '\\s+') END AS words,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '')
+           AS lines
+  FROM base
+), c AS (
+  SELECT *,
+         CAST(len(words) AS BIGINT) AS n_words,
+         list_sum(list_transform(words, x -> length(x))) AS word_chars,
+         len(regexp_extract_all(t, '#'))
+           + len(regexp_extract_all(t, '…'))
+           + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         len(list_filter(lines,
+             x -> regexp_matches(trim(x), '^([-*•]|[0-9]+[.)])\\s')))
+           AS n_bullet,
+         len(list_filter(lines,
+             x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+           AS n_ellipsis,
+         len(list_filter(words,
+             x -> regexp_matches(x, '[A-Za-zА-яÀ-ÿ]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> contains(' ' || lower(t) || ' ', ' ' || s || ' ')))
+           AS stop_hits
+  FROM w
+), m AS (
+  SELECT doc_id,
+         n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         n_words > 0
+           AND (CASE WHEN n_words = 0 THEN 0.0
+                ELSE round(CAST(coalesce(word_chars, 0) AS DECIMAL(18,6))
+                           / n_words, 6)::DOUBLE END) >= 3.0
+           AND (CASE WHEN n_words = 0 THEN 0.0
+                ELSE round(CAST(coalesce(word_chars, 0) AS DECIMAL(18,6))
+                           / n_words, 6)::DOUBLE END) <= 10.0
+           AS r_mean_word_len,
+         (CASE WHEN n_words = 0 THEN 0.0
+          ELSE round(CAST(n_symbols AS DECIMAL(18,6)) / n_words, 6)::DOUBLE
+          END) <= 0.1 AS r_symbol_ratio,
+         (CASE WHEN n_lines = 0 THEN 0.0
+          ELSE round(CAST(n_bullet AS DECIMAL(18,6)) / n_lines, 6)::DOUBLE
+          END) <= 0.9 AS r_bullet_lines,
+         (CASE WHEN n_lines = 0 THEN 0.0
+          ELSE round(CAST(n_ellipsis AS DECIMAL(18,6)) / n_lines, 6)::DOUBLE
+          END) <= 0.3 AS r_ellipsis_lines,
+         (CASE WHEN n_words = 0 THEN 0.0
+          ELSE round(CAST(n_alpha AS DECIMAL(18,6)) / n_words, 6)::DOUBLE
+          END) >= 0.8 AS r_alpha_words,
+         stop_hits >= 2 AS r_stopwords
+  FROM c
+), f AS (
+  SELECT *,
+         (CASE WHEN NOT r_word_count THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS nf
+  FROM m
+), u AS (
+  SELECT 'r_word_count' AS rule, NOT r_word_count AS fail, nf FROM f
+  UNION ALL
+  SELECT 'r_mean_word_len', NOT r_mean_word_len, nf FROM f
+  UNION ALL SELECT 'r_symbol_ratio', NOT r_symbol_ratio, nf FROM f
+  UNION ALL SELECT 'r_bullet_lines', NOT r_bullet_lines, nf FROM f
+  UNION ALL SELECT 'r_ellipsis_lines', NOT r_ellipsis_lines, nf FROM f
+  UNION ALL SELECT 'r_alpha_words', NOT r_alpha_words, nf FROM f
+  UNION ALL SELECT 'r_stopwords', NOT r_stopwords, nf FROM f
+)
+SELECT rule,
+       CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(sum(CASE WHEN fail AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sole_fail
+FROM u GROUP BY rule ORDER BY rule
+"""
+
+
+def q_url_report(spark, sf_dir):
+    """URL provenance pipeline over deterministically synthesized URLs
+    (the driver tables carry no URL column — same synthesized-input
+    pattern as the PII entry): parse + canonicalize + URL-level dedup,
+    reported per registered domain."""
+    from .datapipe.weburl import url_dedup
+    d = load(spark, sf_dir, "documents", lift=True)
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".example.co.uk"))
+         .otherwise(F.lit(".example.com")),
+        F.lit("/p/"), (F.col("doc_id") % 23).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=a&id="),
+                        (F.col("doc_id") % 50).cast("string")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("?id="), (F.col("doc_id") % 50).cast("string")))
+         .otherwise(F.lit("")))
+    deduped = url_dedup(d.select("doc_id", url.alias("url")))
+    return (deduped.groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+                 F.sum("n_url_dups").cast("bigint").alias("n_rows"),
+                 F.max("path_depth").cast("int").alias("max_depth")))
+
+
+ORACLE_URL_REPORT = """
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 11 = 0 THEN 'WWW.' ELSE '' END
+         || source
+         || CASE WHEN doc_id % 7 = 0 THEN '.example.co.uk'
+                 ELSE '.example.com' END
+         || '/p/' || CAST(doc_id % 23 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '?utm_source=a&id=' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN doc_id % 4 = 1
+                 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q0
+  FROM u
+), n AS (
+  SELECT *,
+         CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+              ELSE regexp_replace(path0, '/$', '') END AS npath,
+         list_filter(string_split(q0, '&'),
+                     x -> x <> '' AND NOT lower(string_split(x, '=')[1])
+                          IN ('utm_source','utm_medium','utm_campaign',
+                              'utm_term','utm_content','gclid','fbclid',
+                              'ref','mc_cid','mc_eid')) AS keptq,
+         regexp_replace(host, ':[0-9]+$', '') AS hname
+  FROM p
+), d2 AS (
+  SELECT *,
+         CASE WHEN q0 = '' OR len(keptq) = 0 THEN NULL
+              ELSE array_to_string(keptq, '&') END AS query0,
+         CASE WHEN string_split(hname, '.')[-2] || '.'
+                   || string_split(hname, '.')[-1]
+                   IN ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+                       'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                       'com.mx','co.in','co.kr','co.za','com.tr','com.ar')
+                   AND len(string_split(hname, '.')) >= 3
+              THEN string_split(hname, '.')[-3] || '.'
+                   || string_split(hname, '.')[-2] || '.'
+                   || string_split(hname, '.')[-1]
+              ELSE string_split(hname, '.')[-2] || '.'
+                   || string_split(hname, '.')[-1] END AS domain,
+         CAST(len(list_filter(string_split(
+               CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+                    ELSE regexp_replace(path0, '/$', '') END, '/'),
+               s -> s <> '')) AS INTEGER) AS path_depth
+  FROM n
+), canon AS (
+  SELECT doc_id, domain, path_depth,
+         scheme || '://' || regexp_replace(host, ':(80|443)$', '')
+         || npath || coalesce('?' || query0, '') AS canonical_url
+  FROM d2
+), kept AS (
+  SELECT domain, canonical_url, count(*) AS n_dups,
+         min(path_depth) AS path_depth
+  FROM canon GROUP BY 1, 2
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(sum(n_dups) AS BIGINT) AS n_rows,
+       max(path_depth) AS max_depth
+FROM kept GROUP BY domain
+"""
+
+
+def q_interleaved_report(spark, sf_dir):
+    """Interleaved text+media corpus report over spans derived from the
+    documents table (every 5th sentence position becomes a media anchor
+    with a 40-ref asset vocabulary, so refs recur across docs): corpus
+    media usage + boilerplate flag joined with aggregated anchor text."""
+    from .datapipe.interleaved import anchor_text, media_usage
+    d = load(spark, sf_dir, "documents", lift=True)
+    sp = d.select("doc_id", F.posexplode(
+        F.split(F.col("text"), r"\. ")).alias("off", "raw"))
+    is_media = (F.col("doc_id") * 37 + F.col("off")) % 5 == 0
+    spans = sp.select(
+        "doc_id", "off",
+        F.when(is_media, F.lit("image")).otherwise(F.lit("text"))
+         .alias("kind"),
+        F.when(is_media, F.lit("")).otherwise(F.col("raw")).alias("text"),
+        F.when(is_media,
+               F.concat(F.lit("m_"),
+                        ((F.col("doc_id") + F.col("off") * 13) % 40)
+                        .cast("string"))).alias("media_ref"))
+    usage = media_usage(spans, boiler_min_docs=40)
+    anch = anchor_text(spans, max_chars=60)
+    return usage.join(
+        anch.select("media_ref", "top_caption", "caption_support"),
+        "media_ref")
+
+
+ORACLE_INTERLEAVED_REPORT = """
+WITH sp AS (
+  SELECT doc_id, i - 1 AS off, parts[i] AS raw
+  FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+        FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), spans AS (
+  SELECT doc_id, off,
+         CASE WHEN (doc_id * 37 + off) % 5 = 0 THEN 'image'
+              ELSE 'text' END AS kind,
+         CASE WHEN (doc_id * 37 + off) % 5 = 0 THEN '' ELSE raw END
+           AS text,
+         CASE WHEN (doc_id * 37 + off) % 5 = 0
+              THEN 'm_' || CAST((doc_id + off * 13) % 40 AS VARCHAR)
+         END AS media_ref
+  FROM sp
+), per_doc AS (
+  SELECT media_ref, doc_id, count(*) AS n_in_doc
+  FROM spans WHERE kind = 'image' AND media_ref IS NOT NULL
+  GROUP BY 1, 2
+), usage AS (
+  SELECT media_ref, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_in_doc) AS BIGINT) AS n_refs,
+         count(*) >= 40 AS is_boiler
+  FROM per_doc GROUP BY 1
+), cctx AS (
+  SELECT doc_id, kind, media_ref, off,
+         CASE WHEN kind = 'text' THEN
+           substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 60)
+         END AS t
+  FROM spans
+), wdw AS (
+  SELECT *,
+         last_value(t IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bt,
+         first_value(t IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY off
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS at
+  FROM cctx
+), caps AS (
+  SELECT doc_id, media_ref, lower(coalesce(at, bt)) AS cap
+  FROM wdw WHERE kind = 'image' AND media_ref IS NOT NULL
+), by_cap AS (
+  SELECT media_ref, cap, CAST(count(*) AS BIGINT) AS n
+  FROM caps GROUP BY 1, 2
+), top AS (
+  SELECT media_ref, cap, n,
+         row_number() OVER (PARTITION BY media_ref
+           ORDER BY (cap IS NULL) ASC, n DESC, cap ASC) AS rk
+  FROM by_cap
+)
+SELECT u.media_ref, u.n_docs, u.n_refs, u.is_boiler,
+       t.cap AS top_caption,
+       CASE WHEN t.cap IS NULL THEN CAST(0 AS BIGINT) ELSE t.n END
+         AS caption_support
+FROM usage u JOIN top t ON u.media_ref = t.media_ref AND t.rk = 1
+"""
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Lee-et-al substring dedup over the first 300 documents with a
+    planted license sentence on every 7th doc: winnow fingerprints,
+    corpus-repeated regions (keep-one canonical), excision.  Emits a
+    digest of the cleaned text (the full text would dominate the
+    comparator payload)."""
+    from .datapipe.substring import excise_dup_substrings
+    d = (load(spark, sf_dir, "documents", lift=True)
+         .filter(F.col("doc_id") < 300))
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER_SENT)))
+        .otherwise(F.col("text")))
+    out = excise_dup_substrings(planted, k=12, w=24)
+    return out.select("doc_id", "dup_chars", "n_dup_regions",
+                      F.md5(F.col("clean_text")).alias("clean_digest"))
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' {_BOILER_SENT}' ELSE text END AS text
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(substr(text, i + 1, 12)), 1, 15) AS fp
+  FROM planted,
+       LATERAL (SELECT unnest(generate_series(0, length(text) - 12)) AS i)
+  WHERE length(text) >= 12
+), keyed AS (
+  SELECT doc_id, pos, fp,
+         fp || '#' || lpad(CAST(pos AS VARCHAR), 9, '0') AS fkey
+  FROM g
+), sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(string_split(m, '#')[2] AS INTEGER) AS pos,
+         string_split(m, '#')[1] AS fp
+  FROM (SELECT doc_id,
+               min(fkey) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS m
+        FROM keyed)
+), per_hash AS (
+  SELECT fp, count(*) AS n_occ,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS first_occ
+  FROM sel GROUP BY fp
+), marked AS (
+  SELECT s.doc_id, s.pos AS start, s.pos + 12 AS "end"
+  FROM sel s JOIN per_hash p USING (fp)
+  WHERE p.n_occ >= 2
+    AND NOT (s.doc_id = p.first_occ.doc_id AND s.pos = p.first_occ.pos)
+), isl AS (
+  SELECT *,
+         CASE WHEN max("end") OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max("end") OVER (PARTITION BY doc_id
+                ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 24
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+), grp AS (
+  SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl
+), regions AS (
+  SELECT doc_id, CAST(min(start) AS INTEGER) AS start,
+         CAST(max("end") AS INTEGER) AS "end"
+  FROM grp GROUP BY doc_id, isl
+), segs AS (
+  SELECT doc_id,
+         coalesce(lag("end") OVER (PARTITION BY doc_id ORDER BY start),
+                  0) AS seg_start,
+         start AS seg_end
+  FROM regions
+), head AS (
+  SELECT s.doc_id,
+         string_agg(substr(p.text, s.seg_start + 1,
+                           greatest(s.seg_end - s.seg_start, 0)),
+                    '' ORDER BY s.seg_start) AS h
+  FROM segs s JOIN planted p USING (doc_id) GROUP BY s.doc_id
+), stats AS (
+  SELECT doc_id, CAST(sum("end" - start) AS BIGINT) AS dup_chars,
+         CAST(count(*) AS BIGINT) AS n_dup_regions,
+         max("end") AS last_end
+  FROM regions GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(coalesce(st.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(coalesce(st.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+       md5(CASE WHEN st.doc_id IS NULL THEN p.text
+            ELSE coalesce(h.h, '')
+                 || substr(p.text, st.last_end + 1,
+                           greatest(length(p.text) - st.last_end, 0))
+            END) AS clean_digest
+FROM planted p LEFT JOIN stats st USING (doc_id)
+               LEFT JOIN head h ON h.doc_id = p.doc_id
+"""
+
+
+STAGED_QUERIES = {
+    "drift_report": q_drift_report,
+    "gopher_report": q_gopher_report,
+    "url_report": q_url_report,
+    "interleaved_report": q_interleaved_report,
+    "substring_dedup": q_substring_dedup,
+}
+
+STAGED_ORACLES = {
+    "drift_report": ORACLE_DRIFT_REPORT,
+    "gopher_report": ORACLE_GOPHER_REPORT,
+    "url_report": ORACLE_URL_REPORT,
+    "interleaved_report": ORACLE_INTERLEAVED_REPORT,
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+}
