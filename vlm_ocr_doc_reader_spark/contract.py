@@ -3299,6 +3299,22 @@ QUERIES = {
     # round by the dtype-strict local gate (symmetric round-6 on both
     # engines' bounds; rows/schema unchanged; sf0.01 green) and MUST be
     # front-loaded into the r7 window under rule (b).
+    #
+    # R7 FRONT-LOAD ARITHMETIC (precomputed; the flip is infeasible
+    # without it): 49 entries lack an r6 row, +5 STAGED entries = window
+    # demand 54 > 50, registry 104 > 100.  Required: consolidate >= 4
+    # entries AMONG THE 49 (merging an in-r6-window entry does not help:
+    # it saves registry but ADDS window demand, since the merged entry is
+    # "changed" and must take a row it otherwise already had).  Planned
+    # merges, each a union-with-tag of same-table tiny entries whose
+    # outputs stay distinct rows (the keyword_search-absorbs-snippets
+    # precedent): (a) count_if + distinct_users + status_counts -> one
+    # `agg_flags` entry (saves 2); (b) digit_norm + normalize_vote -> one
+    # scalar-normalizer entry (saves 1); (c) page_normalize + union_dedupe
+    # -> one (saves 1); optionally (d) semi_join + anti_join -> one
+    # membership entry (saves 1, buys one slot of slack for unplanned r7
+    # changes).  Result with (a)-(d): registry 99, window demand 49 + the
+    # merged-entry rows = 49, slack 1.
     # --- no driver row since r3 (r5 displacement, judge finding #2) ---
     "sanitize": q_sanitize,
     "fence_strip": q_fence_strip,

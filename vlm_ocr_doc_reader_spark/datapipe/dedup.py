@@ -329,9 +329,6 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
 
     from .cache import attach_cached_deps
     cached = []
-    toks = shingles(df, k=k, id_col=id_col, text_col=text_col) if k > 1 \
-        else tokens(df, id_col=id_col, text_col=text_col).withColumnRenamed(
-            "token", "shingle")
     if candidates is not None:
         # fold in any caches the candidate pipeline itself persisted
         cached.extend(getattr(candidates, "_cached_deps", []))
@@ -341,18 +338,51 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
             cached.append(cand)
         ids = (cand.select(F.col("id_a").alias("id"))
                .union(cand.select("id_b")).distinct())
-        # prune the token table to candidate members BEFORE anything heavy
-        toks = toks.join(ids, "id", "left_semi")
+        # prune the DOCUMENT frame to candidate members BEFORE the shingle
+        # compute: Catalyst cannot push a semi-join below a Generate, so
+        # pruning an exploded token table still shingled the whole corpus
+        # (this prune + the array form below: curation's jaccard stage
+        # 10.0s -> 5.6s at sf0.1; at 100 TB the difference is shingling
+        # the corpus vs shingling the candidates).  AQE picks broadcast
+        # when the bucket-capped candidate set is small — unforced, so a
+        # pathological candidate explosion degrades to a shuffle join
+        # instead of a driver OOM.
+        df = df.join(ids.select(F.col("id").alias(id_col)),
+                     id_col, "left_semi")
+        # candidate path: per-doc DISTINCT-shingle ARRAYS + one
+        # array_intersect per pair — two equi-joins, zero aggregates,
+        # identical integer counts to the exploded token-table form (same
+        # distinct shingles, same inner-join drop of token-less docs).
+        # Strictly less shuffle at scale: (id, array) rows move once per
+        # join side vs every (id, shingle) row moving twice + a pair
+        # groupBy.
+        if k > 1:
+            arr = F.array_distinct(_shingle_array(k, text_col))
+        else:
+            arr = F.array_distinct(F.filter(
+                F.split(_norm(F.col(text_col)), " "),
+                lambda t: t != ""))
+        arrs = (df.select(F.col(id_col).alias("id"), arr.alias("sh"))
+                .filter(F.size("sh") > 0))
         if persist_intermediate:
-            toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(toks)
-        ta = toks.select(F.col("id").alias("id_a"), "shingle")
-        tb = toks.select(F.col("id").alias("id_b"), "shingle")
-        inter = (cand.join(ta, "id_a")
-                 .join(tb, ["id_b", "shingle"])
-                 .groupBy("id_a", "id_b")
-                 .agg(F.count("*").alias("n_inter")))
+            arrs = arrs.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(arrs)
+        overlap = (cand
+                   .join(arrs.select(F.col("id").alias("id_a"),
+                                     F.col("sh").alias("_sh_a")), "id_a")
+                   .join(arrs.select(F.col("id").alias("id_b"),
+                                     F.col("sh").alias("_sh_b")), "id_b")
+                   .select("id_a", "id_b",
+                           F.size(F.array_intersect("_sh_a", "_sh_b"))
+                            .cast("long").alias("n_inter"),
+                           F.size("_sh_a").cast("long").alias("sz_a"),
+                           F.size("_sh_b").cast("long").alias("sz_b")))
     else:
+        toks = shingles(df, k=k, id_col=id_col, text_col=text_col) \
+            if k > 1 \
+            else tokens(df, id_col=id_col,
+                        text_col=text_col).withColumnRenamed(
+                "token", "shingle")
         if persist_intermediate:
             toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(toks)
@@ -362,12 +392,12 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame | None = None,
                  .filter(F.col("id_a") < F.col("id_b"))
                  .groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("n_inter")))
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    overlap = (inter
-               .join(sizes.select(F.col("id").alias("id_a"),
-                                  F.col("sz").alias("sz_a")), "id_a")
-               .join(sizes.select(F.col("id").alias("id_b"),
-                                  F.col("sz").alias("sz_b")), "id_b"))
+        sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+        overlap = (inter
+                   .join(sizes.select(F.col("id").alias("id_a"),
+                                      F.col("sz").alias("sz_a")), "id_a")
+                   .join(sizes.select(F.col("id").alias("id_b"),
+                                      F.col("sz").alias("sz_b")), "id_b"))
     if _raw_overlap:   # (id_a, id_b, n_inter, sz_a, sz_b) for containment
         return attach_cached_deps(overlap, *cached)
     out = overlap.select(
