@@ -182,6 +182,18 @@ def test_ks_identical_distribution_is_zero(frames):
     assert d.d_stat == 0.0
 
 
+def test_ks_cardinality_guard(frames):
+    """The exact-ECDF window is single-partition; a continuous
+    high-cardinality column must be refused with the binning
+    remediation, not silently funneled through one task."""
+    ref, cur, _ = frames
+    with pytest.raises(ValueError, match="distinct values.*bin"):
+        ks_statistic(ref, cur, "value", max_points=10)
+    # None disables the guard (and skips its count job)
+    d = ks_statistic(ref, ref, "value", max_points=None).collect()[0]
+    assert d.d_stat == 0.0
+
+
 def test_chi_square_matches_duckdb(frames, duck):
     ref, cur, _ = frames
     sql = """

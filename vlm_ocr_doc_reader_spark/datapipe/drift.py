@@ -99,7 +99,8 @@ def psi(df_ref: DataFrame, df_cur: DataFrame, col: str,
             .orderBy("bin"))
 
 
-def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str,
+                 max_points: int | None = 2_000_000) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D for ``col``: one row
     (n_a, n_b, d_stat).
 
@@ -110,6 +111,16 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     ordering runs over distinct values, not rows — for a metric column
     that is thousands of points, not billions.  ECDF gaps are exact
     rationals on integer counts; only the final max is rounded.
+
+    ``max_points`` guards that premise (the ``write_partitioned``
+    cardinality-refusal idiom): the cumulative window is a single
+    partition by construction, so a CONTINUOUS high-cardinality column
+    (raw doubles, timestamps) would funnel its whole distinct-value set
+    through one task.  If the merged distinct count exceeds the bound
+    the call raises with the remediation — round/bin the column first
+    (``F.round(col, 3)`` changes D by at most the bin mass) — instead
+    of silently degrading.  ``None`` disables the check (one count job
+    saved when the caller knows the column is discrete).
     """
     from pyspark.sql import Window
 
@@ -117,6 +128,16 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
            .groupBy(F.col(col).alias("v")).agg(F.count("*").alias("ca")))
     b_c = (df_b.filter(F.col(col).isNotNull())
            .groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cb")))
+    if max_points is not None:
+        n_distinct = a_c.select("v").union(b_c.select("v")) \
+            .distinct().count()
+        if n_distinct > max_points:
+            raise ValueError(
+                f"ks_statistic: {col!r} has {n_distinct} distinct values "
+                f"(> max_points={max_points}); the exact-ECDF cumulative "
+                f"window is single-partition, so bin the column first "
+                f"(e.g. F.round({col!r}, k)) or raise/disable max_points "
+                f"if the skew is acceptable")
     merged = (a_c.join(b_c, "v", "full_outer")
               .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                       F.coalesce("cb", F.lit(0)).alias("cb")))
