@@ -4028,12 +4028,100 @@ FROM planted p LEFT JOIN stats st USING (doc_id)
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    md5-seeded clustering, within-cluster cosine pruning, keep the
+    member least similar to its centroid.  One row per vector with its
+    cluster, rounded centroid-cos and survival flag."""
+    from .datapipe.select import semdedup
+    e = load(spark, sf_dir, "embeddings", lift=True)
+    return semdedup(e, n_clusters=16, threshold=0.9)
+
+
+ORACLE_SEMDEDUP = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (SELECT id AS cid, v AS cvec FROM e
+          ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+scored AS (SELECT e.id, e.v, c.cid,
+                  list_cosine_similarity(e.v, c.cvec) AS ccos
+           FROM e CROSS JOIN cents c),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+                     ORDER BY ccos DESC, cid ASC) AS r FROM scored),
+assign AS (SELECT id, v, cid, round(ccos, 6) AS cent_cos
+           FROM ranked WHERE r = 1),
+sized AS (SELECT cid FROM assign GROUP BY cid
+          HAVING count(*) > 1 AND count(*) <= 1000),
+p AS (SELECT a.* FROM assign a JOIN sized USING (cid)),
+dropped AS (
+  SELECT DISTINCT a.id FROM p a JOIN p b USING (cid)
+  WHERE a.id <> b.id
+    AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    AND (b.cent_cos < a.cent_cos
+         OR (b.cent_cos = a.cent_cos AND b.id < a.id)))
+SELECT a.id AS vec_id, a.cid, a.cent_cos, d.id IS NULL AS is_kept
+FROM assign a LEFT JOIN dropped d USING (id)
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR (Xie et al. 2023): hashed unigram+bigram importance
+    log-weights toward the English subset, Gumbel-top-k resampling with
+    deterministic md5 noise."""
+    from .datapipe.select import dsir_select
+    d = load(spark, sf_dir, "documents", lift=True)
+    return dsir_select(d, F.col("lang") == "en", k=100, n_buckets=512)
+
+
+ORACLE_DSIR_SELECT = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws,
+         (lang = 'en') AS is_t
+  FROM documents),
+feats0 AS (
+  SELECT id, unnest(ws) AS feat, is_t FROM base
+  UNION ALL
+  SELECT id, unnest(CASE WHEN len(ws) >= 2 THEN list_transform(
+             generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1])
+         ELSE [] END) AS feat, is_t FROM base),
+f AS (SELECT id, CAST(CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+             % 512 AS INTEGER) AS bucket, any_value(is_t) AS is_t,
+             count(*) AS n
+      FROM feats0 GROUP BY id, bucket),
+raw_b AS (SELECT bucket, sum(n) AS cr FROM f GROUP BY bucket),
+tgt_b AS (SELECT bucket, sum(n) AS ct FROM f WHERE is_t GROUP BY bucket),
+rt AS (SELECT sum(cr) AS tr FROM raw_b),
+tt AS (SELECT sum(ct) AS tt FROM tgt_b),
+lrt AS (
+  SELECT r.bucket,
+         round(ln(((coalesce(t.ct, 0) + 1.0) / (tt.tt + 1.0 * 512))
+                  / ((r.cr + 1.0) / (rt.tr + 1.0 * 512))), 12) AS lr
+  FROM raw_b r LEFT JOIN tgt_b t USING (bucket)
+  CROSS JOIN rt CROSS JOIN tt),
+w AS (
+  SELECT id, CAST(sum(n) AS BIGINT) AS n_feats,
+         round(CAST(sum(CAST(n * lr AS DECIMAL(24,10))) AS DOUBLE), 6)
+           AS logw
+  FROM f JOIN lrt USING (bucket) GROUP BY id)
+SELECT id, n_feats, logw,
+       round(logw + -ln(-ln(
+         CAST('0x' || substr(md5('dsir' || CAST(id AS VARCHAR)), 1, 12)
+              AS BIGINT) / 281474976710656.0)), 6) AS _skey
+FROM w ORDER BY _skey DESC, id ASC LIMIT 100
+"""
+
+
 STAGED_QUERIES = {
     "drift_report": q_drift_report,
     "gopher_report": q_gopher_report,
     "url_report": q_url_report,
     "interleaved_report": q_interleaved_report,
     "substring_dedup": q_substring_dedup,
+    "semdedup": q_semdedup,
+    "dsir_select": q_dsir_select,
 }
 
 STAGED_ORACLES = {
@@ -4042,4 +4130,6 @@ STAGED_ORACLES = {
     "url_report": ORACLE_URL_REPORT,
     "interleaved_report": ORACLE_INTERLEAVED_REPORT,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "semdedup": ORACLE_SEMDEDUP,
+    "dsir_select": ORACLE_DSIR_SELECT,
 }
