@@ -229,3 +229,43 @@ def test_dsir_select_biases_toward_target(frames):
         .toPandas()
     # 1/3 of the corpus is target; the selection should be mostly target
     assert (sel.lang == "en").mean() > 0.7
+
+
+# ---- LSH parameter tuning (pure planning arithmetic, no Spark) ----
+
+def test_lsh_tuning_brackets_threshold_and_is_optimal():
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import (lsh_collision_prob,
+                                                         lsh_tuning)
+    got = lsh_tuning(0.8, 16)
+    assert got["bands"] * got["rows_per_band"] == got["n_hashes_used"] <= 16
+    # the S-curve must actually separate: collide above, miss below
+    b, r = got["bands"], got["rows_per_band"]
+    assert lsh_collision_prob(0.95, b, r) > 0.8
+    assert lsh_collision_prob(0.3, b, r) < 0.05
+    # brute-force optimality over every factorization <= budget
+    def masses(b, r):
+        fp = sum(lsh_collision_prob((i + 0.5) / 1000, b, r)
+                 for i in range(1000) if (i + 0.5) / 1000 < 0.8) / 1000
+        fn = sum(1 - lsh_collision_prob((i + 0.5) / 1000, b, r)
+                 for i in range(1000) if (i + 0.5) / 1000 >= 0.8) / 1000
+        return fp + fn
+    best = min(masses(h // r, r)
+               for h in range(2, 17) for r in range(1, h + 1) if h % r == 0)
+    assert abs(masses(b, r) - best) < 1e-12
+
+
+def test_lsh_tuning_fn_weight_lowers_crossover():
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import lsh_tuning
+    balanced = lsh_tuning(0.8, 64)
+    recall_first = lsh_tuning(0.8, 64, fn_weight=10.0)
+    # paying more for misses pushes the curve left (collide earlier)
+    assert recall_first["crossover"] <= balanced["crossover"]
+    assert recall_first["fn_mass"] <= balanced["fn_mass"]
+
+
+def test_lsh_tuning_rejects_bad_inputs():
+    from vlm_ocr_doc_reader_spark.datapipe.dedup import lsh_tuning
+    with pytest.raises(ValueError):
+        lsh_tuning(1.0, 16)
+    with pytest.raises(ValueError):
+        lsh_tuning(0.8, 1)

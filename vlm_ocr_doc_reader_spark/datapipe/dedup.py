@@ -641,3 +641,62 @@ def merge_signature_shards(a: DataFrame, b: DataFrame) -> DataFrame:
         F.zip_with("_sa", "_sb", lambda x, y: F.least(x, y)))
     return (sa.join(sb, "id", "full_outer")
             .select("id", merged.alias("sig")))
+
+
+def lsh_collision_prob(s: float, bands: int, rows_per_band: int) -> float:
+    """P(two docs with Jaccard similarity ``s`` share at least one LSH
+    band) = 1 - (1 - s^r)^b — the textbook MinHash-LSH S-curve (Mining
+    of Massive Datasets ch. 3).  Pure planning arithmetic, no Spark."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** bands
+
+
+def lsh_tuning(threshold: float, n_hashes: int,
+               fn_weight: float = 1.0, fp_weight: float = 1.0) -> dict:
+    """Pick (bands, rows_per_band) for ``minhash_band_buckets`` given a
+    target Jaccard ``threshold`` and a signature budget of ``n_hashes``.
+
+    Enumerates every exact factorization b*r = h for h <= n_hashes and
+    minimizes the weighted S-curve error: the integral of the collision
+    probability below the threshold (false-positive mass, candidate
+    pairs the Jaccard stage must then reject — wasted joins) plus the
+    integral of the miss probability above it (false-negative mass,
+    true near-dups LSH never proposes — silent recall loss).  Weights
+    let a pipeline trade shuffle cost (fp) against recall (fn); the
+    integrals use a 1000-point midpoint rule, deterministic.
+
+    Returns {bands, rows_per_band, n_hashes_used, crossover, fp_mass,
+    fn_mass} where crossover = (1/b)^(1/r), the similarity at which the
+    S-curve passes ~0.5.  At 100 TB this choice IS the shuffle budget:
+    bands multiply the band-bucket exchange width, rows sharpen the
+    curve — tune here before provisioning the cluster, not after."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"lsh_tuning: threshold {threshold} not in (0,1)")
+    if n_hashes < 2:
+        raise ValueError(f"lsh_tuning: n_hashes {n_hashes} < 2")
+    best = None
+    n_pts = 1000
+    for h in range(2, n_hashes + 1):
+        for r in range(1, h + 1):
+            if h % r:
+                continue
+            b = h // r
+            fp = fn = 0.0
+            for i in range(n_pts):
+                s = (i + 0.5) / n_pts
+                p = lsh_collision_prob(s, b, r)
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp /= n_pts
+            fn /= n_pts
+            cost = fp_weight * fp + fn_weight * fn
+            # prefer fewer hashes on ties: cheaper signatures
+            key = (cost, h, r)
+            if best is None or key < best[0]:
+                best = (key, {"bands": b, "rows_per_band": r,
+                              "n_hashes_used": h,
+                              "crossover": round((1.0 / b) ** (1.0 / r), 6),
+                              "fp_mass": round(fp, 6),
+                              "fn_mass": round(fn, 6)})
+    return best[1]
