@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "key_skew", "ivf_topk", "near_dup_lsh", "simhash", "windowed_counts",
     "density_classify", "unicode_norm", "passage_dedup",
     "truncate_chunk", "bigram_lm", "merge_shards",
+    # staged r7 gate entries (contract.STAGED_QUERIES): benched before the
+    # registry flip so r7 starts with a measured baseline, not a guess
+    "drift_report", "gopher_report", "url_report", "interleaved_report",
+    "substring_dedup", "semdedup", "dsir_select", "rake",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published
@@ -212,6 +216,19 @@ def main() -> None:
                     "docs_per_sec_median": round(n_docs / med, 1),
                     "times": levels[master_key]["times"]}
 
+        # paired estimator alongside the min-based one: the min/min ratio
+        # is fragile to ONE lucky sample on ONE level (a single fast
+        # local[2] round lowers the published efficiency even though no
+        # round actually scaled worse).  Because rounds interleave the
+        # levels back-to-back, the per-round ratio t_lo_i/t_hi_i cancels
+        # whatever steal phase that round sat in; the median over rounds
+        # is the drift-robust readout.  Both are published — min-based
+        # keeps the historical series comparable.
+        eff_paired = statistics.median(
+            (tl / th) / (n_hi / n_lo)
+            for tl, th in zip(levels[lo_master]["times"],
+                              levels[hi_master]["times"]))
+
         extras["scaling"] = {
             "input_docs": n_docs,
             "rounds": SCALING_ROUNDS,
@@ -220,6 +237,7 @@ def main() -> None:
             full_master: _level(full_master, t_full, thr_full),
             "speedup": round(thr_hi / thr_lo, 3),
             "efficiency": round(eff, 3),
+            "efficiency_paired_median": round(eff_paired, 3),
             f"speedup_{n_hi}_to_{CPUS}": round(thr_full / thr_hi, 3),
             f"efficiency_{n_hi}_to_{CPUS}": round(eff_hi_full, 3),
         }
@@ -263,14 +281,16 @@ def main() -> None:
                       shuffle_partitions=2 * CPUS,
                       extra_conf={"spark.ui.enabled": "false"})
     try:
-        from vlm_ocr_doc_reader_spark.contract import QUERIES
+        from vlm_ocr_doc_reader_spark.contract import (QUERIES,
+                                                       STAGED_QUERIES)
         from vlm_ocr_doc_reader_spark.datapipe.cache import \
             release_all_cached
+        lookup = {**STAGED_QUERIES, **QUERIES}  # registry wins name clashes
         all_times: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
         for _ in range(QUERY_RUNS):          # interleaved passes
             for name in BENCH_QUERIES:
                 t0 = time.time()
-                QUERIES[name](spark, SF_DIR).write.format("noop") \
+                lookup[name](spark, SF_DIR).write.format("noop") \
                     .mode("overwrite").save()
                 all_times[name].append(time.time() - t0)
                 # persisting operators (curation, full_description) attach
@@ -378,6 +398,7 @@ def main() -> None:
     if DO_SCALING:
         s = extras["scaling"]
         compact["efficiency"] = s["efficiency"]
+        compact["efficiency_paired_median"] = s["efficiency_paired_median"]
         compact["speedup"] = s["speedup"]
         compact["headline_level"] = extras.get("headline_level")
         compact["docs_per_sec_median"] = extras.get("docs_per_sec_median")
@@ -415,7 +436,7 @@ def _write_bench_md(r: dict) -> None:
                      f"{s[k].get('sec_median', '—')} | "
                      f"{s[k].get('docs_per_sec_median', '—')} | "
                      f"{s[k].get('times', '—')} |")
-    hi_full = [k for k in s if k.startswith("efficiency_")]
+    hi_full = [k for k in s if k.startswith("efficiency_") and "_to_" in k]
     hi_full_line = ""
     if hi_full:
         k = hi_full[0]
@@ -427,7 +448,11 @@ def _write_bench_md(r: dict) -> None:
         "",
         f"**Speedup {keys[0]} -> {keys[1]}: {s['speedup']}x; "
         f"scaling efficiency: {s['efficiency']}** "
-        f"(north rule target >= 0.8 at N -> 4N).  " + hi_full_line,
+        f"(north rule target >= 0.8 at N -> 4N); paired per-round "
+        f"median efficiency {s.get('efficiency_paired_median', '—')} "
+        f"(each round's lo/hi ratio cancels that round's host-steal "
+        f"phase — robust to one lucky sample on one level).  "
+        + hi_full_line,
         "",
         "The N/4N pair uses core counts that leave the box unconstrained: "
         "every Spark task here drives a JVM thread AND an Arrow Python "

@@ -4114,7 +4114,70 @@ FROM w ORDER BY _skey DESC, id ASC LIMIT 100
 """
 
 
+def q_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): per-doc top-3
+    multi-word phrases by summed member deg/freq ratios."""
+    from .datapipe.terms import rake_phrases
+    d = load(spark, sf_dir, "documents", lift=True).filter(F.col("doc_id") < 300)
+    return rake_phrases(d, k=3, max_phrase_len=4)
+
+
+def _oracle_rake(k: int = 3, maxlen: int = 4) -> str:
+    from .datapipe.textstats import STOPWORDS
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 300),
+toks0 AS (
+  SELECT id, unnest(list_transform(generate_series(1, len(ws)),
+             i -> struct_pack(p := i, t := ws[i]))) AS u
+  FROM base),
+toks AS (
+  SELECT id, u.p AS pos, u.t AS token,
+         (u.t IN ({stops}) OR NOT regexp_matches(u.t, '^[a-z]+$'))
+           AS is_b
+  FROM toks0),
+runs AS (
+  SELECT id, pos, token,
+         sum(CASE WHEN is_b THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos) AS island
+  FROM toks QUALIFY NOT is_b),
+phrases AS (
+  SELECT id, island, string_agg(token, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n_words
+  FROM runs GROUP BY id, island
+  HAVING count(*) <= {maxlen}),
+members AS (
+  SELECT r.id, r.island, r.token, p.n_words
+  FROM runs r JOIN phrases p USING (id, island)),
+wstats AS (
+  SELECT id, token,
+         round(CAST(sum(n_words) AS DOUBLE) / count(*), 12) AS ratio
+  FROM members GROUP BY id, token),
+scored0 AS (
+  SELECT m.id, m.island,
+         round(CAST(sum(CAST(w.ratio AS DECIMAL(24,12))) AS DOUBLE), 6)
+           AS score
+  FROM members m JOIN wstats w USING (id, token)
+  GROUP BY m.id, m.island),
+scored AS (
+  SELECT s.id, p.phrase, max(p.n_words) AS nw, max(s.score) AS score
+  FROM scored0 s JOIN phrases p USING (id, island)
+  GROUP BY s.id, p.phrase),
+ranked AS (
+  SELECT id, phrase, CAST(nw AS INTEGER) AS n_words, score,
+         CAST(row_number() OVER (PARTITION BY id
+              ORDER BY score DESC, phrase ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
 STAGED_QUERIES = {
+    "rake": q_rake,
     "drift_report": q_drift_report,
     "gopher_report": q_gopher_report,
     "url_report": q_url_report,
@@ -4125,6 +4188,7 @@ STAGED_QUERIES = {
 }
 
 STAGED_ORACLES = {
+    "rake": _oracle_rake(),
     "drift_report": ORACLE_DRIFT_REPORT,
     "gopher_report": ORACLE_GOPHER_REPORT,
     "url_report": ORACLE_URL_REPORT,

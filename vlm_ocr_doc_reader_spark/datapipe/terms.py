@@ -312,3 +312,85 @@ def zipf_slope(df: DataFrame, k: int = 200, text_col: str = "text",
         "n_terms",
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
+
+
+def rake_phrases(df: DataFrame, k: int = 3, max_phrase_len: int = 4,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 stopwords: tuple[str, ...] | None = None) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): per-document top-k
+    multi-word candidate phrases.  Candidates are maximal runs of
+    content tokens between boundaries (stopwords, or any token that is
+    not purely a-z); each content word w gets score deg(w)/freq(w)
+    within its document (deg = summed length of the phrases containing
+    each occurrence, freq = occurrence count — frequent-but-isolated
+    words score ~1, words living in long phrases score higher) and a
+    phrase scores the sum of its members' scores.  Phrases longer than
+    ``max_phrase_len`` are dropped (the classic runaway guard for
+    listy/boilerplate text).
+
+    Output: (id, phrase, n_words, score) — top-k per doc by
+    (score desc, phrase asc).
+
+    Scale shape: tokenization + boundary flags are narrow; islands come
+    from ONE running-sum window over (id, pos) and every later
+    aggregate/join is keyed by (id, ...) — well-distributed, no
+    broadcast needed because word stats are PER-DOCUMENT (RAKE's
+    defining trait vs tfidf's corpus dfreq).  The top-k is a per-id
+    window on a frame already reduced to phrases.  Determinism:
+    deg/freq are integers; each ratio is rounded to 12 dp, phrase
+    scores accumulate in DECIMAL, one final 6-dp round (ARCHITECTURE
+    §6)."""
+    from .dedup import _norm
+    if stopwords is None:
+        from .textstats import STOPWORDS
+        stopwords = STOPWORDS
+    words = F.filter(F.split(_norm(F.col(text_col)), " "),
+                     lambda x: x != "")
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(words).alias("pos", "token"))
+            .withColumn("is_boundary",
+                        F.col("token").isin(*stopwords)
+                        | ~F.col("token").rlike("^[a-z]+$")))
+    w = Window.partitionBy("id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = toks.withColumn("island",
+                           F.sum(F.col("is_boundary").cast("int")).over(w)) \
+        .filter(~F.col("is_boundary"))
+    phrases = (runs.groupBy("id", "island")
+               .agg(F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct(F.col("pos").alias("p"),
+                                    F.col("token").alias("t")))),
+                       lambda s: s["t"]).alias("toks"))
+               .withColumn("n_words", F.size("toks"))
+               .filter(F.col("n_words") <= max_phrase_len))
+    members = phrases.select("id", "island", "n_words",
+                             F.explode("toks").alias("token"))
+    wstats = (members.groupBy("id", "token")
+              .agg(F.count("*").alias("freq"),
+                   F.sum("n_words").alias("deg"))
+              .withColumn("ratio", F.round(
+                  F.col("deg").cast("double") / F.col("freq"), 12)))
+    scored = (members.join(wstats, ["id", "token"])
+              .groupBy("id", "island")
+              .agg(F.any_value(F.col("n_words")).alias("n_words"),
+                   F.round(F.sum(F.col("ratio").cast("decimal(24,12)"))
+                           .cast("double"), 6).alias("score"))
+              .join(phrases.select("id", "island",
+                                   F.array_join("toks", " ")
+                                   .alias("phrase")),
+                    ["id", "island"])
+              # a phrase repeated in one doc yields identical
+              # (phrase, score) rows per occurrence (same member
+              # ratios); RAKE scores each UNIQUE phrase once — and the
+              # dedup is what keeps the top-k rank deterministic
+              .groupBy("id", "phrase")
+              .agg(F.max("n_words").alias("n_words"),
+                   F.max("score").alias("score")))
+    topw = Window.partitionBy("id").orderBy(F.desc("score"),
+                                            F.asc("phrase"))
+    return (scored.withColumn("rank", F.row_number().over(topw))
+            .filter(F.col("rank") <= k)
+            .select("id", "phrase",
+                    F.col("n_words").cast("int").alias("n_words"),
+                    "score", F.col("rank").cast("int").alias("rank")))
