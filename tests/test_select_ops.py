@@ -269,3 +269,18 @@ def test_lsh_tuning_rejects_bad_inputs():
         lsh_tuning(1.0, 16)
     with pytest.raises(ValueError):
         lsh_tuning(0.8, 1)
+
+
+def test_semdedup_refined_clusters_still_prune_groups(frames):
+    """Lloyd-refined clustering (the paper's k-means) keeps the
+    invariants: schema identical, exactly one survivor per planted
+    scaled-copy group (copies co-cluster under ANY centroid set since
+    their cosine to every centroid is identical), full row coverage."""
+    emb, _ = frames
+    out = semdedup(emb, n_clusters=4, threshold=0.95,
+                   refine_iters=2).toPandas().set_index("vec_id")
+    assert len(out) == len(_emb_frame())
+    for base, sz in DUP_GROUPS.items():
+        ids = list(range(base, base + sz))
+        kept = [i for i in ids if out.loc[i, "is_kept"]]
+        assert kept == [base], f"group {base}: kept {kept}"

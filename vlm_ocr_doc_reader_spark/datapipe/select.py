@@ -50,12 +50,15 @@ from .similarity import _dot, _norm2
 
 
 def _centroid_array(emb: DataFrame, n_clusters: int, id_col: str,
-                    vec_col: str) -> DataFrame:
+                    vec_col: str, refine_iters: int = 0) -> DataFrame:
     """One-row frame holding all centroids as an array of structs
     (cid, cvec, cnorm).  Centroid ids are the ``n_clusters`` lowest
     md5(id) rows — a seeded sample with no content bias, portable to
     SQL; sorting ONLY (id, md5) keeps the pick TakeOrderedAndProject
-    (see ivf_topk's centroid note)."""
+    (see ivf_topk's centroid note).  ``refine_iters`` > 0 runs Lloyd
+    rounds (``similarity.refine_centroids``) on the seeded pick —
+    data-adapted cells as in the SemDeDup paper's k-means; NOT
+    SQL-oracled (the gate entry runs 0), covered by pytest."""
     ckeys = (emb.select(F.col(id_col).alias("cid"),
                         F.md5(F.col(id_col).cast("string")).alias("_k"))
              .orderBy("_k").limit(n_clusters).select("cid"))
@@ -63,20 +66,25 @@ def _centroid_array(emb: DataFrame, n_clusters: int, id_col: str,
              .select("cid",
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("cvec")))
+    if refine_iters > 0:
+        from .similarity import refine_centroids
+        cents = refine_centroids(emb, cents, iters=refine_iters,
+                                 id_col=id_col, vec_col=vec_col)
     cents = cents.select("cid", "cvec", _norm2(F.col("cvec")).alias("cnorm"))
     return cents.agg(
         F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
 
 
 def _assign_clusters(emb: DataFrame, n_clusters: int, id_col: str,
-                     vec_col: str) -> DataFrame:
+                     vec_col: str, refine_iters: int = 0) -> DataFrame:
     """(id, cid, cent_cos, vd, vnorm): every vector in its nearest
     (max-cosine, ties min cid) cluster.  Narrow: the centroid array is a
     single broadcast row; scoring is a per-row array_sort.  A zero-norm
     vector scores null against every centroid — it is pinned to the
     min-cid cluster with a NULL cent_cos (the SQL twin's NULLS-LAST
     DESC ordering lands on the same row)."""
-    cent_arr = _centroid_array(emb, n_clusters, id_col, vec_col)
+    cent_arr = _centroid_array(emb, n_clusters, id_col, vec_col,
+                               refine_iters)
     e = emb.select(F.col(id_col).alias("id"),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("vd"))
@@ -101,7 +109,7 @@ def _assign_clusters(emb: DataFrame, n_clusters: int, id_col: str,
 
 def semdedup(emb: DataFrame, n_clusters: int = 16, threshold: float = 0.8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             max_cluster: int = 1000,
+             max_cluster: int = 1000, refine_iters: int = 0,
              persist_intermediate: bool = True) -> DataFrame:
     """SemDeDup over an embedding column.  Output one row per input row:
     (vec_id, cid, cent_cos, is_kept) — ``is_kept`` false iff some other
@@ -119,8 +127,13 @@ def semdedup(emb: DataFrame, n_clusters: int = 16, threshold: float = 0.8,
     The assignment frame feeds THREE branches (size cap, pair join,
     final output), so it is persisted by default — release via
     ``datapipe.cache.release_cached(result)``; without the cut Catalyst
-    re-runs the centroid scan + argmax per branch."""
-    a = _assign_clusters(emb, n_clusters, id_col, vec_col)
+    re-runs the centroid scan + argmax per branch.
+
+    ``refine_iters`` > 0 replaces the seeded centroids with Lloyd
+    (k-means) rounds — tighter cells catch more true semantic dups at
+    the same pair budget (the paper's clustering); deterministic but
+    not SQL-oracled, so the gate entry runs 0."""
+    a = _assign_clusters(emb, n_clusters, id_col, vec_col, refine_iters)
     cached = []
     if persist_intermediate:
         from pyspark import StorageLevel
