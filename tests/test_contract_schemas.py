@@ -78,3 +78,28 @@ def test_no_oracle_emits_hazardous_dtypes():
     assert not bad, (
         f"oracle output columns with hash-hazard dtypes (cast them in the "
         f"SQL): {bad}")
+
+
+def test_gate_tables_free_of_regex_divergent_whitespace():
+    """Java regex \\s (Spark operators) matches \\x0B; DuckDB's RE2 \\s
+    (42 registry oracles, window-frozen this round) does not — measured
+    r6, the only character where the two classes differ.  The staged
+    oracles already spell the Java class out explicitly
+    ('[ \\t\\n\\x0b\\f\\r]+', certified by test_staged_fuzz); until the
+    r7 front-load sweeps the registry oracles the same way, this pin
+    guarantees a testdata refresh cannot introduce the divergent
+    character under the frozen window: any \\x0B in a gate text column
+    fails HERE, loudly, instead of at the driver's value hash."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet') "
+            f"WHERE text LIKE '%' || chr(11) || '%'").fetchone()[0]
+        assert n == 0, (
+            f"{sf}/documents.text contains \\x0B in {n} rows — the "
+            f"bare-\\s registry oracles diverge from Spark on it; "
+            f"front-load the explicit-class oracle sweep (see "
+            f"test_staged_fuzz) before accepting this data")

@@ -3663,7 +3663,7 @@ WITH base AS (
 ), w AS (
   SELECT *,
          CASE WHEN trim(t) = '' THEN []
-              ELSE string_split_regex(trim(t), '\\s+') END AS words,
+              ELSE string_split_regex(trim(t), '[ \\t\\n\\x0b\\f\\r]+') END AS words,
          list_filter(string_split(t, chr(10)), x -> trim(x) <> '')
            AS lines
   FROM base
@@ -3676,7 +3676,7 @@ WITH base AS (
            + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
          CAST(len(lines) AS BIGINT) AS n_lines,
          len(list_filter(lines,
-             x -> regexp_matches(trim(x), '^([-*•]|[0-9]+[.)])\\s')))
+             x -> regexp_matches(trim(x), '^([-*•]|[0-9]+[.)])[ \\t\\n\\x0b\\f\\r]')))
            AS n_bullet,
          len(list_filter(lines,
              x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
@@ -3896,7 +3896,7 @@ WITH sp AS (
 ), cctx AS (
   SELECT doc_id, kind, media_ref, off,
          CASE WHEN kind = 'text' THEN
-           substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 60)
+           substr(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 60)
          END AS t
   FROM spans
 ), wdw AS (
@@ -4077,7 +4077,7 @@ ORACLE_DSIR_SELECT = """
 WITH base AS (
   SELECT doc_id AS id,
          list_filter(string_split(lower(regexp_replace(trim(text),
-                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws,
+                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '), x -> x <> '') AS ws,
          (lang = 'en') AS is_t
   FROM documents),
 feats0 AS (
@@ -4129,7 +4129,7 @@ def _oracle_rake(k: int = 3, maxlen: int = 4) -> str:
 WITH base AS (
   SELECT doc_id AS id,
          list_filter(string_split(lower(regexp_replace(trim(text),
-                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '), x -> x <> '') AS ws
   FROM documents WHERE doc_id < 300),
 toks0 AS (
   SELECT id, unnest(list_transform(generate_series(1, len(ws)),
