@@ -1,0 +1,99 @@
+"""extraction_diff: span-sequence regression comparison of two runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vlm_ocr_doc_reader_spark.operators.regression import (
+    extraction_diff, extraction_diff_summary)
+
+SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+          "media_ref:string,offset:int>>")
+
+
+def _span(kind, text, ref, off):
+    return (kind, text, ref, off)
+
+
+@pytest.fixture(scope="module")
+def runs(spark):
+    a = spark.createDataFrame([
+        ("d1", [_span("text", "alpha", None, 0),
+                _span("image", None, "img1", 1),
+                _span("text", "beta", None, 2)]),
+        ("d2", [_span("text", "same", None, 0)]),
+        ("d3", [_span("text", "x", None, 0), _span("text", "y", None, 1)]),
+        ("d4", [_span("text", "only in a", None, 0)]),
+        ("d6", []),
+    ], SCHEMA)
+    b = spark.createDataFrame([
+        # d1: identical sequence, offsets renumbered -> still equal
+        ("d1", [_span("text", "alpha", None, 10),
+                _span("image", None, "img1", 20),
+                _span("text", "beta", None, 30)]),
+        # d2: text changed at index 0
+        ("d2", [_span("text", "changed", None, 0)]),
+        # d3: second span missing -> length mismatch, first_diff = 1
+        ("d3", [_span("text", "x", None, 0)]),
+        # d5 only in b
+        ("d5", [_span("text", "only in b", None, 0)]),
+        ("d6", []),
+    ], SCHEMA)
+    return a, b
+
+
+def test_diff_statuses(runs):
+    a, b = runs
+    out = {r["doc_id"]: r.asDict()
+           for r in extraction_diff(a, b).collect()}
+    assert out["d1"]["status"] == "equal" and out["d1"]["first_diff"] is None
+    assert out["d2"]["status"] == "diverged" and out["d2"]["first_diff"] == 0
+    assert out["d3"]["status"] == "diverged" and out["d3"]["first_diff"] == 1
+    assert out["d3"]["n_a"] == 2 and out["d3"]["n_b"] == 1
+    assert out["d4"]["status"] == "only_a" and out["d4"]["n_b"] is None
+    assert out["d5"]["status"] == "only_b" and out["d5"]["n_a"] is None
+    assert out["d6"]["status"] == "equal"  # empty == empty
+
+
+def test_diff_null_media_ref_is_equal(runs, spark):
+    # null media_ref on BOTH sides must compare equal (null-safe), and
+    # null-vs-value must diverge
+    a = spark.createDataFrame(
+        [("d", [_span("image", None, None, 0)])], SCHEMA)
+    b_same = spark.createDataFrame(
+        [("d", [_span("image", None, None, 9)])], SCHEMA)
+    b_ref = spark.createDataFrame(
+        [("d", [_span("image", None, "r", 0)])], SCHEMA)
+    assert extraction_diff(a, b_same).first()["status"] == "equal"
+    assert extraction_diff(a, b_ref).first()["status"] == "diverged"
+
+
+def test_diff_summary(runs):
+    a, b = runs
+    s = {r["status"]: r["n_docs"]
+         for r in extraction_diff_summary(extraction_diff(a, b)).collect()}
+    assert s == {"equal": 2, "diverged": 2, "only_a": 1, "only_b": 1}
+
+
+def test_gate_entry_matches_duckdb(spark):
+    import duckdb
+
+    from vlm_ocr_doc_reader_spark.contract import (STAGED_ORACLES,
+                                                   q_extract_diff)
+    sf = "/root/testdata/sf0.001"
+    got = q_extract_diff(spark, sf).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(
+        STAGED_ORACLES["extract_diff"] + " ORDER BY doc_id").fetchdf()
+    con.close()
+    assert len(got) == len(want) > 0
+    # the planted perturbations must actually appear
+    assert (got.status == "diverged").sum() > 0
+    assert (got.status == "equal").sum() > 0
+    import pandas as pd
+    for c in got.columns:
+        g, w = got[c], want[c]
+        assert str(g.dtype) == str(w.dtype), f"{c}: {g.dtype} vs {w.dtype}"
+        both_na = g.isna() & w.isna()
+        assert ((g == w) | both_na).all(), f"col {c} differs"

@@ -4176,7 +4176,91 @@ SELECT * FROM ranked WHERE rank <= {k}
 """
 
 
+def q_extract_diff(spark, sf_dir):
+    """Extraction regression diff: run A = sentence spans from the
+    documents table; run B = the same extractor with two planted
+    deterministic regressions (doc_id % 7: second span dropped;
+    doc_id % 11: first span text rewritten).  The diff reports, per
+    doc, the judged span-sequence-equality verdict at scale."""
+    from .operators.regression import extraction_diff
+    docs = load(spark, sf_dir, "documents", lift=True)
+    parts = F.split(F.col("text"), r"\. ")
+    clean = lambda x: F.trim(F.regexp_replace(x, r"\s+", " "))  # noqa: E731
+
+    def span_a(x, i):
+        return F.struct(F.lit("text").alias("kind"),
+                        clean(x).alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        i.cast("int").alias("offset"))
+
+    def span_b(x, i):
+        txt = F.when((F.col("doc_id") % 11 == 0) & (i == 0),
+                     F.concat(F.lit("v2 "), clean(x))).otherwise(clean(x))
+        return F.struct(F.lit("text").alias("kind"), txt.alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        i.cast("int").alias("offset"))
+
+    run_a = docs.select("doc_id", F.transform(parts, span_a).alias("spans"))
+    run_b = docs.select(
+        "doc_id",
+        F.filter(F.transform(parts, span_b),
+                 lambda s: ~((F.col("doc_id") % 7 == 0)
+                             & (s["offset"] == 1))).alias("spans"))
+    return extraction_diff(run_a, run_b)
+
+
+ORACLE_EXTRACT_DIFF = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(text, '\\. ') AS parts
+  FROM documents),
+a AS (
+  SELECT doc_id, list_transform(parts, x -> struct_pack(
+           kind := 'text',
+           text := trim(regexp_replace(x, '[ \\t\\n\\x0b\\f\\r]+', ' ',
+                                       'g')),
+           media_ref := CAST(NULL AS VARCHAR))) AS sa
+  FROM base),
+b0 AS (
+  SELECT doc_id, list_transform(generate_series(1, len(parts)),
+           i -> struct_pack(
+             i := i,
+             kind := 'text',
+             text := CASE WHEN doc_id % 11 = 0 AND i = 1
+                     THEN 'v2 ' || trim(regexp_replace(parts[i],
+                          '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+                     ELSE trim(regexp_replace(parts[i],
+                          '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) END,
+             media_ref := CAST(NULL AS VARCHAR))) AS l
+  FROM base),
+b AS (
+  SELECT doc_id, list_transform(
+           list_filter(l, s -> NOT (doc_id % 7 = 0 AND s.i = 2)),
+           s -> struct_pack(kind := s.kind, text := s.text,
+                            media_ref := s.media_ref)) AS sb
+  FROM b0),
+j AS (SELECT a.doc_id, sa, sb FROM a JOIN b USING (doc_id)),
+d AS (
+  -- this DuckDB's list_position yields 0 (not NULL) on no-match;
+  -- NULLIF normalizes both conventions to NULL = "no difference"
+  SELECT doc_id, sa, sb,
+         NULLIF(list_position(list_transform(
+           generate_series(1, greatest(len(sa), len(sb))),
+           i -> (sa[i] IS NOT DISTINCT FROM sb[i])), false), 0) AS fb
+  FROM j)
+SELECT doc_id,
+       CASE WHEN sa IS NULL THEN 'only_b'
+            WHEN sb IS NULL THEN 'only_a'
+            WHEN fb IS NULL THEN 'equal'
+            ELSE 'diverged' END AS status,
+       CAST(len(sa) AS INTEGER) AS n_a,
+       CAST(len(sb) AS INTEGER) AS n_b,
+       CAST(fb - 1 AS INTEGER) AS first_diff
+FROM d
+"""
+
+
 STAGED_QUERIES = {
+    "extract_diff": q_extract_diff,
     "rake": q_rake,
     "drift_report": q_drift_report,
     "gopher_report": q_gopher_report,
@@ -4188,6 +4272,7 @@ STAGED_QUERIES = {
 }
 
 STAGED_ORACLES = {
+    "extract_diff": ORACLE_EXTRACT_DIFF,
     "rake": _oracle_rake(),
     "drift_report": ORACLE_DRIFT_REPORT,
     "gopher_report": ORACLE_GOPHER_REPORT,
