@@ -97,3 +97,52 @@ def test_gate_entry_matches_duckdb(spark):
         assert str(g.dtype) == str(w.dtype), f"{c}: {g.dtype} vs {w.dtype}"
         both_na = g.isna() & w.isna()
         assert ((g == w) | both_na).all(), f"col {c} differs"
+
+
+def test_cli_diff_command(spark, tmp_path):
+    """End-to-end: extract the same corpus twice (self-diff all-equal),
+    then against a perturbed copy (exactly the planted docs diverge)."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_spark.cli import main
+    from vlm_ocr_doc_reader_spark.fixtures.generate import (
+        generate_documents, write_documents_parquet)
+
+    inp = str(tmp_path / "in.parquet")
+    write_documents_parquet(generate_documents(12, seed=5, mega_spans=50),
+                            inp)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert main(["extract", "--input", inp, "--output", out_a,
+                 "--state", str(tmp_path / "sa")]) == 0
+    assert main(["extract", "--input", inp, "--output", out_b,
+                 "--state", str(tmp_path / "sb")]) == 0
+
+    d_out = str(tmp_path / "diff_ab")
+    assert main(["diff", "--run-a", out_a, "--run-b", out_b,
+                 "--output", d_out, "--summary"]) == 0
+    diff = spark.read.parquet(d_out).toPandas()
+    assert (diff.status == "equal").all() and len(diff) > 0
+
+    # perturb one doc's spans in a copy of run B
+    import glob
+    frames = [pd.read_parquet(p) for p in glob.glob(f"{out_b}/*.parquet")]
+    full = pd.concat(frames, ignore_index=True)
+    victim = sorted(full.doc_id)[0]
+    def _mutate(row):
+        if row.doc_id == victim and len(row.spans):
+            s = list(row.spans)
+            s[0] = {**s[0], "text": "REGRESSED"}
+            return s
+        return row.spans
+    full["spans"] = full.apply(_mutate, axis=1)
+    out_c = tmp_path / "c"
+    out_c.mkdir()
+    full.to_parquet(out_c / "part.parquet", index=False)
+
+    d_out2 = str(tmp_path / "diff_ac")
+    assert main(["diff", "--run-a", out_a, "--run-b", str(out_c),
+                 "--output", d_out2]) == 0
+    diff2 = spark.read.parquet(d_out2).toPandas().set_index("doc_id")
+    assert diff2.loc[victim, "status"] == "diverged"
+    assert diff2.loc[victim, "first_diff"] == 0
+    assert (diff2.drop(index=victim).status == "equal").all()

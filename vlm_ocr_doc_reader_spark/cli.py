@@ -108,6 +108,31 @@ def _run_levels(spark: SparkSession, args) -> None:
         kept.unpersist()
 
 
+def _run_diff(spark: SparkSession, args) -> None:
+    """Diff two extraction output directories (the `extract` command's
+    parquet shape).  A resumed/crashed job can leave one doc under more
+    than one run_id; the consumer view keeps the newest run's spans per
+    doc (deterministic max_by on run_id) before comparing."""
+    from pyspark.sql import functions as F
+
+    from .operators.regression import extraction_diff, \
+        extraction_diff_summary
+
+    def _load_run(path):
+        df = spark.read.parquet(path)
+        if "run_id" in df.columns:
+            df = (df.groupBy("doc_id")
+                  .agg(F.max_by("spans", "run_id").alias("spans")))
+        return df
+
+    diff = extraction_diff(_load_run(args.run_a), _load_run(args.run_b))
+    diff.write.mode("overwrite").parquet(args.output)
+    if args.summary:
+        for row in sorted(extraction_diff_summary(
+                spark.read.parquet(args.output)).collect()):
+            print(f"{row['status']}\t{row['n_docs']}")
+
+
 def main(argv: list[str] | None = None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--master", default=None)
@@ -126,6 +151,16 @@ def main(argv: list[str] | None = None) -> int:
     pf = sub.add_parser("describe", parents=[common])
     pf.add_argument("--input", required=True)
     pf.add_argument("--output", required=True)
+
+    # regression gate between two extraction outputs (A/B an extractor
+    # version before rolling it over the full corpus): per-doc
+    # span-sequence verdict + optional 4-row rollup
+    pdiff = sub.add_parser("diff", parents=[common])
+    pdiff.add_argument("--run-a", required=True)
+    pdiff.add_argument("--run-b", required=True)
+    pdiff.add_argument("--output", required=True)
+    pdiff.add_argument("--summary", action="store_true",
+                       help="also print the status rollup (4 rows)")
 
     for name in ("scan", "resolve", "verify"):
         ps = sub.add_parser(name, parents=[common])
@@ -165,6 +200,8 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.describe import full_description
             full_description(spark.read.parquet(args.input)) \
                 .write.mode("overwrite").parquet(args.output)
+        elif args.command == "diff":
+            _run_diff(spark, args)
         else:
             _run_levels(spark, args)
     finally:
