@@ -1,0 +1,98 @@
+"""BPE training loop vs a pure-Python reference implementation.
+
+The reference is the textbook Sennrich algorithm on the same word
+counts with the same tie-break (count desc, sym_a asc, sym_b asc) —
+merge sequences must match EXACTLY, including on tie-heavy corpora.
+"""
+
+import random
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from vlm_ocr_doc_reader_spark.datapipe.bpe import (apply_bpe, bpe_train,
+                                                   word_counts)
+
+SEED = 20260819
+
+
+def _ref_bpe(word_counts_dict: dict[str, int], n_merges: int):
+    """Pure-Python reference: leftmost-first non-overlapping merges."""
+    vocab = {w: list(w) for w in word_counts_dict}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            n = word_counts_dict[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append({"rank": rank, "sym_a": a, "sym_b": b,
+                       "count": cnt})
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def _docs(n=150):
+    rng = random.Random(SEED)
+    vocab = ["lower", "lowest", "newer", "newest", "wider", "widest",
+             "new", "low", "aaa", "aaaa", "banana", "bandana"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 15))))
+            for i in range(n)]
+    rows.append((n, ""))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_docs(), "doc_id long, text string")
+
+
+def test_bpe_train_matches_reference(docs):
+    wc = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    ref_merges, ref_vocab = _ref_bpe(wc, 15)
+    merges, vocab = bpe_train(docs, n_merges=15)
+    assert merges == ref_merges
+    got_vocab = {r["word"]: list(r["syms"])
+                 for r in vocab.select("word", "syms").collect()}
+    assert got_vocab == ref_vocab
+
+
+def test_bpe_overlapping_run_is_leftmost_first(spark):
+    # 'aaa' under merge (a,a): leftmost pair merges, tail 'a' survives
+    d = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    merges, vocab = bpe_train(d, n_merges=1)
+    assert merges[0]["sym_a"] == "a" and merges[0]["sym_b"] == "a"
+    syms = vocab.filter("word = 'aaa'").select("syms").first()[0]
+    assert list(syms) == ["aa", "a"]
+
+
+def test_bpe_early_stop_on_exhaustion(spark):
+    d = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    merges, _ = bpe_train(d, n_merges=50)
+    assert merges == []  # single-char words: no adjacent pairs ever
+
+
+def test_apply_bpe_replays_merges(docs):
+    merges, _ = bpe_train(docs, n_merges=10)
+    toks = apply_bpe(docs, merges).filter("id = 0").first()["tokens"]
+    wc = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    _, ref_vocab = _ref_bpe(wc, 10)
+    first_text = _docs().iloc[0].text.split()
+    want = [t for w in first_text for t in ref_vocab[w]]
+    assert list(toks) == want
