@@ -4259,8 +4259,79 @@ FROM d
 """
 
 
+def q_hybrid_search(spark, sf_dir):
+    """RRF hybrid retrieval: BM25 lexical ranking fused with the cosine
+    neighborhood of vec_id 0's embedding; rank-only fusion needs no
+    score calibration."""
+    from .datapipe.search import hybrid_search_rrf
+    d = load(spark, sf_dir, "documents", lift=True)
+    e = load(spark, sf_dir, "embeddings", lift=True)
+    return hybrid_search_rrf(d, e, ["vector", "stream", "merge"],
+                             query_vec_id=0, k=15, k_each=50)
+
+
+# staged oracle: tokenizer regexes use the explicit Java \s class per the
+# r6 whitespace policy (test_staged_fuzz)
+_WS = "[ \\t\\n\\x0b\\f\\r]+"
+ORACLE_HYBRID_SEARCH = f"""
+WITH tf AS (
+  SELECT id, token, count(*) AS tf FROM (
+    SELECT doc_id AS id,
+           unnest(string_split(lower(regexp_replace(trim(text), '{_WS}',
+                                                    ' ', 'g')), ' '))
+             AS token
+    FROM documents) WHERE token <> '' GROUP BY id, token
+), dl AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(lower(regexp_replace(trim(text),
+             '{_WS}', ' ', 'g')), ' '), x -> x <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), post AS (
+  SELECT * FROM tf WHERE token IN ('merge', 'stream', 'vector')
+), dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+parts AS (
+  SELECT p.id,
+         CAST(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+              ((p.tf * CAST(2.2 AS DOUBLE)) /
+               (p.tf + CAST(1.2 AS DOUBLE) *
+                (1.0 - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)))
+              AS DECIMAL(20,8)) AS part
+  FROM post p JOIN dfreq d USING (token) JOIN dl l ON p.id = l.id
+  CROSS JOIN stats s
+), bm AS (
+  SELECT id, round(CAST(sum(part) AS DOUBLE), 6) AS score
+  FROM parts GROUP BY id ORDER BY score DESC, id LIMIT 50
+), lex AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id)
+                  AS INTEGER) AS lex_rank
+  FROM bm
+), e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+qv AS (SELECT v AS qvec FROM e WHERE id = 0),
+cos AS (
+  SELECT e.id, list_cosine_similarity(q.qvec, e.v) AS cosine
+  FROM e CROSS JOIN qv q WHERE e.id <> 0
+), sem AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id)
+                  AS INTEGER) AS sem_rank
+  FROM cos ORDER BY cosine DESC, id LIMIT 50
+), fused AS (
+  SELECT coalesce(l.id, s.id) AS id, l.lex_rank, s.sem_rank,
+         round(coalesce(1.0 / (60 + l.lex_rank), 0)
+               + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+)
+SELECT id, lex_rank, sem_rank, rrf FROM fused
+ORDER BY rrf DESC, id LIMIT 15
+"""
+
+
 STAGED_QUERIES = {
     "extract_diff": q_extract_diff,
+    "hybrid_search": q_hybrid_search,
     "rake": q_rake,
     "drift_report": q_drift_report,
     "gopher_report": q_gopher_report,
@@ -4273,6 +4344,7 @@ STAGED_QUERIES = {
 
 STAGED_ORACLES = {
     "extract_diff": ORACLE_EXTRACT_DIFF,
+    "hybrid_search": ORACLE_HYBRID_SEARCH,
     "rake": _oracle_rake(),
     "drift_report": ORACLE_DRIFT_REPORT,
     "gopher_report": ORACLE_GOPHER_REPORT,

@@ -189,3 +189,54 @@ def keyword_snippets(df: DataFrame, term: str, window: int = 5,
                       F.explode(snips).alias("s"))
             .select("id", F.col("s.hit_pos").alias("hit_pos"),
                     F.col("s.snippet").alias("snippet")))
+
+
+def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
+                      query_vec_id, k: int = 10, k_each: int = 50,
+                      k_rrf: int = 60, id_col: str = "doc_id",
+                      vec_id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      text_col: str = "text") -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse the BM25 lexical ranking for ``terms`` with the cosine semantic
+    ranking around ``query_vec_id``'s embedding —
+    rrf(d) = sum over lists of 1/(k_rrf + rank_d), a missing list
+    contributes 0.  RRF needs no score calibration between the two
+    systems, which is why it is the standard first fusion.
+
+    Output: (id, lex_rank, sem_rank, rrf) — top-``k`` by (rrf desc, id).
+
+    Scale shape: each branch reduces to <= ``k_each`` rows BEFORE
+    fusion (BM25's posting-sized shuffles; the semantic side is the
+    broadcast-query corpus scan of ``brute_force_topk`` — swap in
+    ``lsh_topk`` for a bucketed corpus-side at extreme scale); the
+    fusion join and the final rank run on <= 2*k_each rows, so the
+    single-partition windows here are k_each-sized by construction,
+    never corpus-sized.  Determinism: ranks are integers; each rrf is a
+    fixed-order sum of two exact divisions — identical cross-engine;
+    final round(6)."""
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+
+    lex = bm25_search(docs, terms, k=k_each, id_col=id_col,
+                      text_col=text_col)
+    wl = Window.orderBy(F.desc("score"), F.asc("id"))
+    lex_r = lex.select("id", F.row_number().over(wl).alias("lex_rank"))
+
+    q = (emb.filter(F.col(vec_id_col) == query_vec_id)
+         .select(F.col(vec_id_col).alias("qid"),
+                 F.col(vec_col).alias("qvec")))
+    sem = brute_force_topk(emb, q, k=k_each, id_col=vec_id_col,
+                           vec_col=vec_col)
+    sem_r = sem.select(F.col("nbr_id").alias("id"),
+                       F.col("rank").alias("sem_rank"))
+
+    rrf = (F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+           + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("sem_rank")),
+                        F.lit(0.0)))
+    return (lex_r.join(sem_r, "id", "full_outer")
+            .select("id", F.col("lex_rank").cast("int").alias("lex_rank"),
+                    F.col("sem_rank").cast("int").alias("sem_rank"),
+                    F.round(rrf, 6).alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("id")).limit(k))
