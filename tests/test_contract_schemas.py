@@ -103,3 +103,26 @@ def test_gate_tables_free_of_regex_divergent_whitespace():
             f"bare-\\s registry oracles diverge from Spark on it; "
             f"front-load the explicit-class oracle sweep (see "
             f"test_staged_fuzz) before accepting this data")
+
+
+def test_gate_embeddings_free_of_nan_inf():
+    """Spark sorts NaN GREATEST in ascending struct sorts (so the
+    ncos=NaN centroid lands LAST and a real centroid wins); DuckDB
+    sorts NaN first under ORDER BY cos DESC (NaN > inf) — so a NaN
+    cosine would pick DIFFERENT clusters in semdedup/ivf_topk's twin.
+    Like the \\x0B pin: the divergence needs a NaN/Inf embedding value
+    to exist, so pin the gate tables clean and fail loudly here on any
+    testdata refresh that introduces one."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/embeddings.parquet') "
+            f"WHERE len(list_filter(embedding, "
+            f"x -> isnan(x) OR NOT isfinite(x))) > 0").fetchone()[0]
+        assert n == 0, (
+            f"{sf}/embeddings contains NaN/Inf components in {n} rows — "
+            f"NaN ordering diverges between Spark and DuckDB in the "
+            f"centroid-assignment oracles")
