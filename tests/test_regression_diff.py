@@ -146,3 +146,57 @@ def test_cli_diff_command(spark, tmp_path):
     assert diff2.loc[victim, "status"] == "diverged"
     assert diff2.loc[victim, "first_diff"] == 0
     assert (diff2.drop(index=victim).status == "equal").all()
+
+
+def test_diff_random_cases_match_python_reference(spark):
+    """200 random span-array pairs (shared prefixes, mutations,
+    insertions, deletions, null media_refs) diffed in one DataFrame,
+    compared against a pure-Python reference verdict."""
+    import random
+    rng = random.Random(20260820)
+
+    def rand_span(i):
+        kind = rng.choice(["text", "image"])
+        return (kind,
+                None if kind == "image" else f"t{rng.randrange(5)}",
+                f"m{rng.randrange(3)}" if kind == "image" else None,
+                i)
+
+    cases = {}
+    rows_a, rows_b = [], []
+    for c in range(200):
+        doc = f"d{c}"
+        a = [rand_span(i) for i in range(rng.randrange(0, 8))]
+        op = rng.random()
+        b = list(a)
+        if op < 0.25 and a:                       # mutate one position
+            i = rng.randrange(len(a))
+            b[i] = ("text", "MUT", None, i)
+        elif op < 0.45:                           # append
+            b = b + [rand_span(len(b))]
+        elif op < 0.65 and a:                     # drop one
+            del b[rng.randrange(len(a))]
+        # else identical
+        rows_a.append((doc, a))
+        rows_b.append((doc, b))
+        cases[doc] = (a, b)
+    a_df = spark.createDataFrame(rows_a, SCHEMA)
+    b_df = spark.createDataFrame(rows_b, SCHEMA)
+    got = {r["doc_id"]: r.asDict()
+           for r in extraction_diff(a_df, b_df).collect()}
+
+    def ref(a, b):
+        ka = [(s[0], s[1], s[2]) for s in a]
+        kb = [(s[0], s[1], s[2]) for s in b]
+        fd = next((i for i in range(max(len(ka), len(kb)))
+                   if i >= len(ka) or i >= len(kb) or ka[i] != kb[i]),
+                  None)
+        status = "equal" if fd is None else "diverged"
+        return status, len(ka), len(kb), fd
+
+    assert len(got) == len(cases)
+    for doc, (a, b) in cases.items():
+        status, na, nb, fd = ref(a, b)
+        g = got[doc]
+        assert (g["status"], g["n_a"], g["n_b"], g["first_diff"]) \
+            == (status, na, nb, fd), doc
