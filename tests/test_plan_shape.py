@@ -271,3 +271,65 @@ def test_merge_shards_one_equi_join(spark):
         r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p))
     assert n_joins == 1
     assert "HashAggregate" not in p and "Generate" not in p
+
+
+def test_semdedup_assignment_is_broadcast_only(spark):
+    """Cluster assignment must be a one-broadcast-row narrow argmax:
+    no CartesianProduct and no Window over the corpus; the only
+    nested-loop joins are IdentityBroadcastMode of the 1-row centroid
+    array, and the pair/drop joins key on cluster id (shuffled joins
+    are expected THERE — they are the operator's only corpus-sized
+    exchanges)."""
+    from vlm_ocr_doc_reader_spark.datapipe.select import semdedup
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(semdedup(e, n_clusters=8, threshold=0.9,
+                      persist_intermediate=False))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    # centroid pick must stay TakeOrderedAndProject (never a global sort)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dsir_bucket_frame_broadcasts_and_topk_is_bounded(spark):
+    """The B-row log-ratio frame broadcasts into the scoring join and
+    the resample compiles to TakeOrderedAndProject, never a global
+    sort of the scored corpus."""
+    from vlm_ocr_doc_reader_spark.datapipe.select import dsir_select
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dsir_select(d, F.col("lang") == "en", k=50, n_buckets=128,
+                         persist_intermediate=False))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rake_never_broadcasts_or_crosses(spark):
+    """RAKE's word stats are per-document — every join/window keys on
+    (id, ...); no broadcast of corpus-derived frames, no cross join."""
+    from vlm_ocr_doc_reader_spark.datapipe.terms import rake_phrases
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(rake_phrases(d, k=3))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_extraction_diff_single_join_no_explode(spark):
+    """The diff is one full-outer join on doc_id plus narrow array
+    expressions — span payloads never explode."""
+    from vlm_ocr_doc_reader_spark.operators.regression import \
+        extraction_diff
+    from vlm_ocr_doc_reader_spark.fixtures.generate import (
+        generate_documents, write_documents_parquet)
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    pq = os.path.join(d, "docs.parquet")
+    write_documents_parquet(generate_documents(5, seed=2, mega_spans=20,
+                                               include_edge=False), pq)
+    df = spark.read.parquet(pq).select("doc_id", "spans")
+    p = plan(extraction_diff(df, df))
+    assert "Generate" not in p          # no explode
+    import re
+    joins = [op for op in re.findall(r"\n\(\d+\) (\w+)", p)
+             if "Join" in op]
+    assert len(joins) == 1, joins       # exactly the full-outer id join

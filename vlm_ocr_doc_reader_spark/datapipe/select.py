@@ -259,7 +259,8 @@ def dsir_logweights(df: DataFrame, target: Column,
 def dsir_select(df: DataFrame, target: Column, k: int = 100,
                 n_buckets: int = 1024, alpha: float = 1.0,
                 seed: str = "dsir", id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                persist_intermediate: bool = True) -> DataFrame:
     """DSIR selection: Gumbel-top-``k`` over the importance log-weights
     (sampling WITHOUT replacement proportional to exp(logw), the
     paper's resampling step) with deterministic md5-derived noise:
@@ -268,7 +269,7 @@ def dsir_select(df: DataFrame, target: Column, k: int = 100,
     rounded perturbed score — TakeOrderedAndProject, never a global
     sort."""
     scored = dsir_logweights(df, target, n_buckets, alpha, id_col,
-                             text_col)
+                             text_col, persist_intermediate)
     u = (F.conv(F.substring(
         F.md5(F.concat(F.lit(seed), F.col("id").cast("string"))), 1, 12),
         16, 10).cast("double") / F.lit(281474976710656.0))
