@@ -464,14 +464,19 @@ def _write_bench_md(r: dict) -> None:
         "Measurement protocol: levels are INTERLEAVED (one run per level "
         "per round, min per level) because this VM's wall clock drifts "
         "over minutes — per-round efficiency swings ~0.70-0.91 on an "
-        "identical build.  Measured environment ceiling on this box: a "
-        "pure-CPU-bound mapInPandas stage (hashlib loop, no I/O, no "
-        "engine code) scales 2->8 cores at 0.877 and the bare Arrow "
-        "ship-to-Python roundtrip at 0.89, so the box itself caps any "
-        "4x pair near ~0.88; the extraction pipeline sits at/near that "
-        "ceiling.  The engine's own dataflow adds NO cross-task "
-        "dependency (the fused plan is a zero-shuffle map), so executor "
-        "counts on a real cluster scale it by construction.",
+        "identical build.  Environment ceiling: `tools/env_ceiling.py` "
+        "(pure-CPU hashlib mapInPandas, no I/O, no engine code, same "
+        "interleaved protocol) bounds any job's 2->8-core scaling on "
+        "this host — run it NEXT TO every scaling measurement and judge "
+        "engine-vs-probe, not engine-vs-constant.  History: r5 probe "
+        "0.877 / engine 0.861; r6 probe 0.800 min-based, 0.830 "
+        "paired-median / engine 0.78-0.80 across four time-separated "
+        "samples while the box's absolute local[2] level drifted 59.3 "
+        "-> 76.5 s (+29%) — the HOST's ceiling moved, the engine sat at "
+        "it both rounds, and the extract path was byte-identical to r5 "
+        "(git-diff-verified).  The engine's own dataflow adds NO "
+        "cross-task dependency (the fused plan is a zero-shuffle map), "
+        "so executor counts on a real cluster scale it by construction.",
         "",
         "## Contract query timings (" + r["sf"] + ", min over "
         + str(r.get("query_runs", 1)) + " INTERLEAVED passes; median and "
