@@ -81,3 +81,29 @@ def test_time_rollup_three_way(spark):
     finally:
         contract.LOAD_REPARTITION = None
     assert outs[0] == outs[1] == outs[2]
+
+
+STAGED_FLOAT_QUERIES = [
+    # staged r7 entries with float outputs: semantic cosines (semdedup),
+    # decimal-accumulated log-weights + gumbel keys (dsir_select),
+    # decimal phrase-score sums (rake), rank-derived rrf
+    "semdedup",
+    "dsir_select",
+    "rake",
+    "hybrid_search",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no driver testdata")
+@pytest.mark.parametrize("name", STAGED_FLOAT_QUERIES)
+def test_staged_partition_invariant(spark, name):
+    fn = contract.STAGED_QUERIES[name]
+    results = {}
+    try:
+        for n_parts in (1, 7):
+            contract.LOAD_REPARTITION = n_parts
+            results[n_parts] = _canonical(fn(spark, SF_DIR))
+    finally:
+        contract.LOAD_REPARTITION = None
+    assert results[1] == results[7], (
+        f"{name}: output depends on input partitioning")
