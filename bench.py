@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     # registry flip so r7 starts with a measured baseline, not a guess
     "drift_report", "gopher_report", "url_report", "interleaved_report",
     "substring_dedup", "semdedup", "dsir_select", "rake", "extract_diff",
-    "hybrid_search",
+    "hybrid_search", "lsh_multiprobe",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published

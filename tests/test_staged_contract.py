@@ -31,7 +31,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_staged_sets_aligned():
     assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
-    assert len(STAGED_QUERIES) == 10
+    assert len(STAGED_QUERIES) == 11
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))

@@ -4176,6 +4176,51 @@ SELECT * FROM ranked WHERE rank <= {k}
 """
 
 
+def q_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe SRP ANN: the query also probes the buckets reached
+    by flipping its 2 least-confident sign bits — multiband recall at
+    single-table index size."""
+    from .datapipe.similarity import lsh_topk_multiprobe
+    e = load(spark, sf_dir, "embeddings", lift=True)
+    return lsh_topk_multiprobe(e, _PLANES_LSH, k=3, n_flip=2)
+
+
+def _oracle_lsh_multiprobe(planes=None, k: int = 3, n_flip: int = 2,
+                           max_bucket: int = 1000) -> str:
+    planes = planes or _PLANES_LSH
+    bucket = _duck_bucket(planes)
+    ms = ", ".join(
+        "struct_pack(m := abs(list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + f"])), i := {p})"
+        for p, plane in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+d AS (SELECT id, v, {bucket} AS bucket, [{ms}] AS ms FROM e),
+f AS (SELECT id, v, bucket,
+             list_concat([bucket], list_transform(
+               list_sort(ms)[1:{n_flip}],
+               s -> xor(bucket, (1 << s.i)))) AS probes
+      FROM d),
+sized AS (SELECT bucket FROM d GROUP BY bucket
+          HAVING count(*) <= {max_bucket}),
+data AS (SELECT d.id, d.v, d.bucket FROM d JOIN sized USING (bucket)),
+q AS (SELECT id AS qid, v AS va, unnest(probes) AS bucket FROM f),
+cand AS (
+  SELECT q.qid, a.id AS nbr_id,
+         max(list_cosine_similarity(q.va, a.v)) AS cos
+  FROM q JOIN data a USING (bucket) WHERE q.qid <> a.id
+  GROUP BY q.qid, a.id
+), rr AS (
+  SELECT qid, nbr_id, cos, row_number() OVER (PARTITION BY qid
+         ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand
+)
+SELECT qid, nbr_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM rr WHERE rank <= {k}
+"""
+
+
 def q_extract_diff(spark, sf_dir):
     """Extraction regression diff: run A = sentence spans from the
     documents table; run B = the same extractor with two planted
@@ -4332,6 +4377,7 @@ ORDER BY rrf DESC, id LIMIT 15
 STAGED_QUERIES = {
     "extract_diff": q_extract_diff,
     "hybrid_search": q_hybrid_search,
+    "lsh_multiprobe": q_lsh_multiprobe,
     "rake": q_rake,
     "drift_report": q_drift_report,
     "gopher_report": q_gopher_report,
@@ -4345,6 +4391,7 @@ STAGED_QUERIES = {
 STAGED_ORACLES = {
     "extract_diff": ORACLE_EXTRACT_DIFF,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
+    "lsh_multiprobe": _oracle_lsh_multiprobe(),
     "rake": _oracle_rake(),
     "drift_report": ORACLE_DRIFT_REPORT,
     "gopher_report": ORACLE_GOPHER_REPORT,

@@ -391,3 +391,79 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     return (cand.withColumn("cosine", _carried_cosine())
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def lsh_topk_multiprobe(emb: DataFrame, planes: list[list[float]],
+                        k: int = 5, n_flip: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        max_bucket: int = 1000) -> DataFrame:
+    """Multi-probe SRP top-k (Lv et al. 2007, VLDB — adapted from
+    p-stable to sign-random-projection): instead of paying for more
+    tables (``lsh_topk_multiband``), the QUERY side also probes the
+    buckets reached by flipping its ``n_flip`` least-confident sign
+    bits — the planes with the smallest |dot|, where the true neighbor
+    most plausibly landed on the other side.  Same recall lever at
+    1/B-th the index size: the data side stays ONE bucket per vector.
+
+    Shape: per-row plane dots are computed once into an array (narrow);
+    the flip choice is a per-row array_sort over (|dot|, plane) — no
+    shuffle; the data side keeps its main bucket; the query side
+    explodes 1 + n_flip probe buckets; the pair join shuffles once on
+    the bucket key with the same per-bucket cap as every other bucketed
+    path; cross-probe duplicate pairs collapse in the scoring
+    aggregate.  Ties on |dot| break on plane index (deterministic, and
+    mirrored by the SQL twin)."""
+    n_planes = len(planes)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e0 = (emb.select(F.col(id_col).alias("id"), vd.alias("vd"))
+          .withColumn("vnorm", _norm2(F.col("vd")))
+          .withColumn("dots", F.array(*[
+              _dot(F.col("vd"),
+                   F.array(*[F.lit(float(x)) for x in plane]))
+              for plane in planes])))
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(F.element_at("dots", p + 1) >= 0,
+                     F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e0 = e0.withColumn("bucket", bucket.cast("int"))
+    # n_flip least-confident planes: sort (|dot|, plane idx) ascending
+    flip_idx = F.slice(F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.struct(
+            F.abs(F.element_at("dots", i + 1)).alias("m"),
+            i.alias("i")))), 1, n_flip)
+    # flipping bit i == bucket XOR 2^i (pow is exact for i < 31)
+    probes = F.concat(
+        F.array(F.col("bucket")),
+        F.transform(flip_idx,
+                    lambda s: F.col("bucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), s["i"]).cast("int"))))
+    e0 = e0.withColumn("probes", probes).drop("dots")
+
+    # cap WITHOUT the singleton exclusion _cap_buckets applies: a
+    # 1-member bucket yields no pairs under same-bucket joins, but a
+    # multi-probe query from ANOTHER bucket can legitimately find that
+    # lone member — only the over-cap (O(n^2) hazard) buckets drop
+    data = e0.select("id", "vd", "vnorm", "bucket")
+    sized = (data.groupBy("bucket").agg(F.count("*").alias("sz"))
+             .filter(F.col("sz") <= max_bucket))
+    data = data.join(F.broadcast(sized.select("bucket")), "bucket")
+    right = data.select(F.col("id").alias("nbr_id"),
+                        F.col("vd").alias("vb"),
+                        F.col("vnorm").alias("nnorm"), "bucket")
+    left = (e0.select(F.col("id").alias("qid"),
+                      F.col("vd").alias("va"),
+                      F.col("vnorm").alias("qnorm"),
+                      F.explode("probes").alias("bucket")))
+    cand = left.join(right, "bucket").filter(F.col("qid") != F.col("nbr_id"))
+    # cosine identical whichever probe proposed the pair -> max() dedups
+    scored = (cand.withColumn("cosine", _carried_cosine())
+              .groupBy("qid", "nbr_id")
+              .agg(F.max("cosine").alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
