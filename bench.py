@@ -37,11 +37,11 @@ BENCH_QUERIES = [
     "extract_text", "pricing_summary", "top_order_per_cust",
     "dim_join_rollup", "upsert_merge", "chunking", "vote", "dedup_exact",
     "minhash_pairs", "cosine_topk", "quality", "lang_id", "fingerprint",
-    "dedup_pipeline", "dup_components", "lsh_topk", "lsh_topk_multiband",
+    "dedup_pipeline", "dup_components", "lsh_topk_multiband",
     "full_description",
-    "levels_verify", "levels_verify_chunked", "sessionize", "asof_join",
+    "levels_suite", "sessionize", "asof_join",
     "range_join", "range_join_left", "time_rollup", "pii_redact",
-    "repetition", "heavy_hitters", "tfidf", "det_sample", "split_assign",
+    "repetition", "heavy_hitters", "tfidf", "sample_suite",
     "event_percentiles", "event_pivot", "curation",
     "kmv_distinct", "cms_counts", "hist_quantiles",
     "decontam_overlap", "lm_score", "pack_sequences", "mixture_sample",
@@ -52,8 +52,10 @@ BENCH_QUERIES = [
     "key_skew", "ivf_topk", "near_dup_lsh", "simhash", "windowed_counts",
     "density_classify", "unicode_norm", "passage_dedup",
     "truncate_chunk", "bigram_lm", "merge_shards",
-    # staged r7 gate entries (contract.STAGED_QUERIES): benched before the
-    # registry flip so r7 starts with a measured baseline, not a guess
+    # r7 consolidation suites (replace the merged-away single entries)
+    "scalar_suite", "agg_suite", "membership_joins", "norm_dedupe",
+    "extract_strategies",
+    # r6-staged composed entries, flipped into the registry in r7
     "drift_report", "gopher_report", "url_report", "interleaved_report",
     "substring_dedup", "semdedup", "dsir_select", "rake", "extract_diff",
     "hybrid_search", "lsh_multiprobe",

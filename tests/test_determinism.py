@@ -83,8 +83,8 @@ def test_time_rollup_three_way(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
-STAGED_FLOAT_QUERIES = [
-    # staged r7 entries with float outputs: semantic cosines (semdedup),
+R7_FLIPPED_FLOAT_QUERIES = [
+    # r7-flipped entries with float outputs: semantic cosines (semdedup),
     # decimal-accumulated log-weights + gumbel keys (dsir_select),
     # decimal phrase-score sums (rake), rank-derived rrf
     "semdedup",
@@ -95,9 +95,9 @@ STAGED_FLOAT_QUERIES = [
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no driver testdata")
-@pytest.mark.parametrize("name", STAGED_FLOAT_QUERIES)
-def test_staged_partition_invariant(spark, name):
-    fn = contract.STAGED_QUERIES[name]
+@pytest.mark.parametrize("name", R7_FLIPPED_FLOAT_QUERIES)
+def test_r7_flipped_partition_invariant(spark, name):
+    fn = contract.QUERIES[name]
     results = {}
     try:
         for n_parts in (1, 7):

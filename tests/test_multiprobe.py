@@ -59,13 +59,13 @@ def test_multiprobe_zero_flips_equals_single_probe(emb):
 def test_multiprobe_gate_entry_matches_duckdb(spark):
     import duckdb
 
-    from vlm_ocr_doc_reader_spark.contract import (STAGED_ORACLES,
+    from vlm_ocr_doc_reader_spark.contract import (ORACLES,
                                                    q_lsh_multiprobe)
     got = q_lsh_multiprobe(spark, SF).orderBy("qid", "rank").toPandas()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{SF}/embeddings.parquet')")
-    want = con.execute(STAGED_ORACLES["lsh_multiprobe"]
+    want = con.execute(ORACLES["lsh_multiprobe"]
                        + " ORDER BY qid, rank").fetchdf()
     con.close()
     assert len(got) == len(want) > 0

@@ -77,7 +77,7 @@ def test_diff_summary(runs):
 def test_gate_entry_matches_duckdb(spark):
     import duckdb
 
-    from vlm_ocr_doc_reader_spark.contract import (STAGED_ORACLES,
+    from vlm_ocr_doc_reader_spark.contract import (ORACLES,
                                                    q_extract_diff)
     sf = "/root/testdata/sf0.001"
     got = q_extract_diff(spark, sf).orderBy("doc_id").toPandas()
@@ -85,7 +85,7 @@ def test_gate_entry_matches_duckdb(spark):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
     want = con.execute(
-        STAGED_ORACLES["extract_diff"] + " ORDER BY doc_id").fetchdf()
+        ORACLES["extract_diff"] + " ORDER BY doc_id").fetchdf()
     con.close()
     assert len(got) == len(want) > 0
     # the planted perturbations must actually appear

@@ -16,7 +16,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from vlm_ocr_doc_reader_spark.contract import (STAGED_ORACLES,
+from vlm_ocr_doc_reader_spark.contract import (ORACLES,
                                                q_dsir_select,
                                                q_gopher_report, q_rake)
 
@@ -99,7 +99,7 @@ def _canon(df: pd.DataFrame):
 ])
 def test_staged_oracle_parity_on_vtab_text(spark, fuzz_sf, name, fn):
     got = fn(spark, fuzz_sf).toPandas()
-    want = _duck(fuzz_sf, STAGED_ORACLES[name])
+    want = _duck(fuzz_sf, ORACLES[name])
     assert list(sorted(got.columns)) == list(sorted(want.columns))
     for c in got.columns:
         ka, kb = str(got[c].dtype), str(want[c].dtype)

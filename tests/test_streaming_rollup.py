@@ -146,3 +146,17 @@ def test_uncommitted_generation_is_ignored_and_collected(spark, tmp_path):
     assert parts == ["batch_id=compacted_g1"]
     assert os.path.exists(os.path.join(crashed, "_folded.json"))
     assert _canon(read_rollup(spark, table)) == before
+
+
+def test_read_rollup_empty_or_missing_table(spark, tmp_path):
+    """ADVICE r6: a new/empty table reads as an empty 0-row frame with
+    the table schema instead of throwing (missing dir, empty dir, and a
+    dir holding only non-rollup entries)."""
+    from vlm_ocr_doc_reader_spark.streaming.rollup import read_rollup
+    missing = read_rollup(spark, str(tmp_path / "never_created"))
+    assert missing.count() == 0
+    assert set(missing.columns) == {"level", "bucket", "key",
+                                    "n_events", "sum_value"}
+    empty = tmp_path / "empty_table"
+    empty.mkdir()
+    assert read_rollup(spark, str(empty)).count() == 0

@@ -415,6 +415,14 @@ def lsh_topk_multiprobe(emb: DataFrame, planes: list[list[float]],
     aggregate.  Ties on |dot| break on plane index (deterministic, and
     mirrored by the SQL twin)."""
     n_planes = len(planes)
+    if n_planes > 30:
+        # bucket and probe flips live in a signed 32-bit int (1 << p and
+        # pow(2.0, i).cast('int')); beyond 30 planes the shift silently
+        # overflows/loses exactness instead of failing (ADVICE r6)
+        raise ValueError(
+            f"lsh_topk_multiprobe supports at most 30 planes (int bucket "
+            f"bits); got {n_planes} — use lsh_topk_multiband to add "
+            f"recall beyond that")
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e0 = (emb.select(F.col(id_col).alias("id"), vd.alias("vd"))
           .withColumn("vnorm", _norm2(F.col("vd")))

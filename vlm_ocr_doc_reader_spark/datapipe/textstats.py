@@ -245,13 +245,16 @@ def readability(df: DataFrame, id_col: str = "doc_id",
     Scale shape: three regexp_extract_all counts per row, pure narrow
     Catalyst, zero shuffle.
     """
+    # column-object API throughout: interpolating text_col into F.expr
+    # breaks (or allows expression injection) for names that need
+    # backtick quoting (ADVICE r6); regexp_extract_all accepts Columns
     t = F.col(text_col)
     n_words = token_count_col(t).cast("bigint")
     n_sent = F.greatest(
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))),
         F.lit(1)).cast("bigint")
-    vowel_runs = F.size(F.expr(
-        f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    vowel_runs = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0)))
     n_syl = F.greatest(vowel_runs.cast("bigint"), n_words)
     flesch = (F.lit(206.835)
               - F.lit(1.015) * (n_words / n_sent)

@@ -122,12 +122,36 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
     """Consumer view of the maintained aggregate: newest committed
     compacted generation + every partial not folded into it.  Exact at
     any batch split (decimal sums) and under any crash/replay interleaving
-    of the compaction protocol (module docstring)."""
-    cur, _folded_ids, live, _gc, _next = _snapshot(table_dir)
-    paths = ([os.path.join(table_dir, cur)] if cur else []) \
-        + [os.path.join(table_dir, d) for d in live]
-    return _fold(spark.read.parquet(*paths)
-                 .select(*_AGG_COLS, "n_events", "sum_value"))
+    of the compaction protocol (module docstring).
+
+    A concurrent ``compact_rollup`` deletes superseded directories right
+    after committing, so a reader racing it can snapshot a directory that
+    is gone by the time the parquet footers are read — a transient
+    missing-path error, never a wrong result (the new generation holds
+    the same data).  One fresh snapshot+read retry absorbs it.  A new or
+    empty table (no committed generation, no live partials) reads as an
+    empty 0-row frame with the table schema instead of throwing."""
+    last_err: Exception | None = None
+    for _attempt in range(2):
+        if os.path.isdir(table_dir):
+            cur, _folded_ids, live, _gc, _next = _snapshot(table_dir)
+        else:
+            cur, live = None, []
+        paths = ([os.path.join(table_dir, cur)] if cur else []) \
+            + [os.path.join(table_dir, d) for d in live]
+        if not paths:
+            empty = spark.createDataFrame(
+                [], "level string, bucket timestamp, key string, "
+                    "n_events bigint, sum_value decimal(28,6)")
+            return _fold(empty)
+        try:
+            # parquet footer reads happen here (schema resolution), so a
+            # GC'd snapshot path fails at this call, inside the retry
+            return _fold(spark.read.parquet(*paths)
+                         .select(*_AGG_COLS, "n_events", "sum_value"))
+        except Exception as e:  # racing compaction GC'd a snapshotted dir
+            last_err = e
+    raise last_err
 
 
 def compact_rollup(spark: SparkSession, table_dir: str) -> None:
