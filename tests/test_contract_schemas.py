@@ -82,27 +82,41 @@ def test_no_oracle_emits_hazardous_dtypes():
 
 def test_gate_tables_free_of_regex_divergent_whitespace():
     """Java regex \\s (Spark operators) matches \\x0B; DuckDB's RE2 \\s
-    (42 registry oracles, window-frozen this round) does not — measured
-    r6, the only character where the two classes differ.  The staged
-    oracles already spell the Java class out explicitly
-    ('[ \\t\\n\\x0b\\f\\r]+', certified by test_staged_fuzz); until the
-    r7 front-load sweeps the registry oracles the same way, this pin
-    guarantees a testdata refresh cannot introduce the divergent
-    character under the frozen window: any \\x0B in a gate text column
-    fails HERE, loudly, instead of at the driver's value hash."""
+    does not — measured r6, the ONLY code point where the two engines'
+    \\s/\\w/\\b/\\d classes differ (\\w, \\b, \\d are identical).  The
+    r7 sweep (VERDICT r6 item 3) spelled the Java class out explicitly
+    in every WINDOW-entry oracle it owns outright; oracles frozen under
+    the rotation rule (r6-green rows) and the shared helpers they embed
+    keep bare \\s and are exonerated by THIS pin instead: no string
+    column of any gate table at any gate SF contains \\x0B, so the two
+    classes cannot diverge on gate data.  A testdata refresh that
+    introduces the character fails here, loudly, instead of at the
+    driver's value hash.  test_staged_fuzz proves the swept oracles
+    stay parity-green even ON \\x0B-bearing text."""
     import duckdb
 
     con = duckdb.connect()
-    for sf in ("sf0.001", "sf0.01"):
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet("
-            f"'/root/testdata/{sf}/documents.parquet') "
-            f"WHERE text LIKE '%' || chr(11) || '%'").fetchone()[0]
-        assert n == 0, (
-            f"{sf}/documents.text contains \\x0B in {n} rows — the "
-            f"bare-\\s registry oracles diverge from Spark on it; "
-            f"front-load the explicit-class oracle sweep (see "
-            f"test_staged_fuzz) before accepting this data")
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for t in tables:
+            cols = [c for c, typ, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet("
+                f"'/root/testdata/{sf}/{t}.parquet')").fetchall()
+                if str(typ).upper() == "VARCHAR"]
+            if not cols:
+                continue
+            pred = " OR ".join(
+                f"{c} LIKE '%' || chr(11) || '%'" for c in cols)
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet("
+                f"'/root/testdata/{sf}/{t}.parquet') WHERE {pred}"
+            ).fetchone()[0]
+            assert n == 0, (
+                f"{sf}/{t} contains \\x0B in {n} rows (cols {cols}) — "
+                f"bare-\\s frozen oracles would diverge from Spark; "
+                f"sweep them to the explicit Java class before "
+                f"accepting this data")
 
 
 def test_gate_embeddings_free_of_nan_inf():

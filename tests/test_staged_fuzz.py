@@ -1,12 +1,15 @@
-"""Cross-engine fuzz for the staged text gate entries — including the
-one character where the two engines' regex whitespace classes actually
-DIVERGE: Java's ``\\s`` matches ``\\x0B`` (vertical tab), DuckDB's RE2
-``\\s`` does not (measured this round).  The staged oracles therefore
-spell the Java class out explicitly (``[ \\t\\n\\x0b\\f\\r]+``); this
-suite proves the explicit-class oracles stay oracle-equal on text the
-bare-``\\s`` registry oracles would diverge on.  The registry sweep is
-an r7 front-load item; until then test_contract_schemas pins the gate
-tables \\x0B-free so the frozen window cannot trip on it.
+"""Cross-engine fuzz over the live registry's regex surface — built
+around the one character where the two engines' regex whitespace
+classes actually DIVERGE: Java's ``\\s`` matches ``\\x0B`` (vertical
+tab), DuckDB's RE2 ``\\s`` does not (measured r6; ``\\w``/``\\b``/
+``\\d`` are identical).  The r7 sweep (VERDICT r6 item 3) spelled the
+Java class out explicitly in every window-entry oracle owned outright
+by a window entry; this suite runs those swept entries on a corpus
+saturated with ``\\x0B`` and every other whitespace variant and
+requires EXACT oracle parity — text the bare-``\\s`` form provably
+diverges on (witness test below).  Frozen r6-green oracles and shared
+helpers keep bare ``\\s`` and are exonerated by the gate-table
+``\\x0B`` pin in test_contract_schemas instead.
 """
 
 import random
@@ -16,9 +19,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from vlm_ocr_doc_reader_spark.contract import (ORACLES,
-                                               q_dsir_select,
-                                               q_gopher_report, q_rake)
+from vlm_ocr_doc_reader_spark.contract import ORACLES, QUERIES
 
 ADVERSARIAL = [
     "",
@@ -92,13 +93,22 @@ def _canon(df: pd.DataFrame):
     return sorted(out, key=repr)
 
 
-@pytest.mark.parametrize("name,fn", [
-    ("rake", q_rake),
-    ("dsir_select", q_dsir_select),
-    ("gopher_report", q_gopher_report),
-])
-def test_staged_oracle_parity_on_vtab_text(spark, fuzz_sf, name, fn):
-    got = fn(spark, fuzz_sf).toPandas()
+# Window entries whose oracle regex surface is FULLY explicit-class
+# after the r7 sweep and that read only the documents table (the fuzz
+# corpus).  Entries embedding frozen bare-\s helpers (corpus_report,
+# simhash, containment, incremental_dedup, bm25) are excluded by
+# design — the gate-table pin covers them.
+SWEPT_DOC_ENTRIES = [
+    "rake", "dsir_select", "gopher_report",
+    "quality_clf", "corpus_diff", "density_classify", "passage_dedup",
+    "lm_score", "bigram_pmi", "bpe_pairs",
+    "extract_strategies", "levels_suite",
+]
+
+
+@pytest.mark.parametrize("name", SWEPT_DOC_ENTRIES)
+def test_swept_oracle_parity_on_vtab_text(spark, fuzz_sf, name):
+    got = QUERIES[name](spark, fuzz_sf).toPandas()
     want = _duck(fuzz_sf, ORACLES[name])
     assert list(sorted(got.columns)) == list(sorted(want.columns))
     for c in got.columns:
