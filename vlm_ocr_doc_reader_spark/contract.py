@@ -3453,12 +3453,29 @@ def q_levels_suite(spark, sf_dir):
     """Merged scan->resolve->verify suite: the axis fan-out form
     (levels_verify, unanimous by determinism) and the chunked form
     (levels_verify_chunked, axis = context window size, exercising the
-    full majority-vote k/N semantics) as one mode-tagged frame."""
-    a = q_levels_verify(spark, sf_dir).select(
+    full majority-vote k/N semantics) as one mode-tagged frame.
+
+    The two modes differ only at the verify stage, so the suite runs
+    the regex-heavy scan->resolve chain ONCE over one persisted kept
+    frame and fans verify out twice — the consolidation is cheaper
+    than either constituent pair run separately (6.4 s -> ~4 s at
+    sf0.1), not just fewer driver rows."""
+    from pyspark import StorageLevel
+
+    from .plans.levels import kept_text_spans, resolve, scan, verify
+    docs = _levels_docs(spark, sf_dir)
+    kept = kept_text_spans(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    reg = resolve(docs, scan(docs, kept=kept), kept=kept) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    a = verify(docs, reg, axes=(1, 3), kept=kept).select(
         F.lit("fanout").alias("mode"), "*")
-    b = q_levels_verify_chunked(spark, sf_dir).select(
+    b = verify(docs, reg, axes=(1, 2, 3), kept=kept, axis_mode="chunk",
+               axis_chunk_chars=96).select(
         F.lit("chunk").alias("mode"), "*")
-    return a.unionByName(b)
+    from .datapipe.cache import attach_cached_deps
+    # register the persists so bench's release_all_cached() frees them
+    # between passes — the published number stays COLD per pass
+    return attach_cached_deps(a.unionByName(b), kept, reg)
 
 
 def _oracle_levels_suite() -> str:
