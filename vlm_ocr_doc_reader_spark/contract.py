@@ -4356,6 +4356,100 @@ ORDER BY rrf DESC, id LIMIT 15
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """IVFADC+R product-quantized ANN (Jegou/Douze/Schmid 2011) over the
+    embeddings table: md5-seeded coarse cells and per-subquantizer
+    codebooks, ADC shortlist of 32, exact-cosine re-ranked top-3.
+    STAGED for the r8 window (the r7 registry is frozen post-flip);
+    certified by test_staged_contract + check_contract --staged."""
+    from .datapipe.similarity import ivf_pq_topk
+    e = load(spark, sf_dir, "embeddings", lift=True)
+    return ivf_pq_topk(e, k=3, m_sub=16, rerank=32)
+
+
+def _oracle_pq_topk(n_centroids: int = 16, n_probe: int = 4, k: int = 3,
+                    m_sub: int = 16, n_codes: int = 16,
+                    rerank: int = 32) -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (SELECT id AS cid, v AS cvec FROM e
+          ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_centroids}),
+cscored AS (
+  SELECT e.id, c.cid, list_cosine_similarity(e.v, c.cvec) AS ccos
+  FROM e CROSS JOIN cents c
+), cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY ccos DESC, cid ASC) AS crank FROM cscored
+), assign AS (SELECT id, cid FROM cranked WHERE crank = 1),
+probes AS (SELECT id AS qid, cid FROM cranked WHERE crank <= {n_probe}),
+ms AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+ckeys AS (
+  SELECT m, id,
+         row_number() OVER (PARTITION BY m ORDER BY
+           md5('pq' || CAST(m AS VARCHAR) || ':' || CAST(id AS VARCHAR)))
+           AS j
+  FROM e CROSS JOIN ms
+), cb AS (
+  SELECT ck.m, CAST(ck.j AS INTEGER) AS j,
+         array_slice(e.v, ck.m * (len(e.v) // {m_sub}) + 1,
+                     (ck.m + 1) * (len(e.v) // {m_sub})) AS cw
+  FROM ckeys ck JOIN e USING (id) WHERE ck.j <= {n_codes}
+), cb2 AS (SELECT m, j, cw, list_inner_product(cw, cw) AS c2 FROM cb),
+subs AS (
+  SELECT e.id, m.m,
+         array_slice(e.v, m.m * (len(e.v) // {m_sub}) + 1,
+                     (m.m + 1) * (len(e.v) // {m_sub})) AS sub
+  FROM e CROSS JOIN ms m
+), escore AS (
+  SELECT s.id, s.m, cb2.j, cb2.c2,
+         cb2.c2 - 2 * list_inner_product(s.sub, cb2.cw) AS score
+  FROM subs s JOIN cb2 USING (m)
+), codes AS (
+  SELECT id, m, j, c2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, m
+              ORDER BY score ASC, j ASC) AS rn FROM escore) WHERE rn = 1
+), pqn AS (
+  SELECT id, sqrt(list_sum(list(c2 ORDER BY m))) AS pqn FROM codes
+  GROUP BY id
+), qn AS (SELECT id, sqrt(list_inner_product(v, v)) AS qn FROM e),
+lut AS (
+  SELECT s.id AS qid, s.m, cb2.j,
+         list_inner_product(s.sub, cb2.cw) AS val
+  FROM subs s JOIN cb2 USING (m)
+), cand AS (
+  SELECT p.qid, a.id AS nbr_id
+  FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.id
+), adc AS (
+  SELECT c.qid, c.nbr_id,
+         list_sum(list(l.val ORDER BY l.m)) AS adot
+  FROM cand c
+  JOIN codes cd ON cd.id = c.nbr_id
+  JOIN lut l ON l.qid = c.qid AND l.m = cd.m AND l.j = cd.j
+  GROUP BY c.qid, c.nbr_id
+), ascored AS (
+  SELECT a.qid, a.nbr_id, a.adot / (q.qn * p.pqn) AS adc_cos
+  FROM adc a JOIN qn q ON q.id = a.qid JOIN pqn p ON p.id = a.nbr_id
+), short AS (
+  SELECT qid, nbr_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY adc_cos DESC, nbr_id ASC) AS arank
+    FROM ascored) WHERE arank <= {max(rerank, k)}
+), ex AS (
+  SELECT s.qid, s.nbr_id,
+         list_cosine_similarity(qa.v, nb.v) AS cosine
+  FROM short s JOIN e qa ON qa.id = s.qid JOIN e nb ON nb.id = s.nbr_id
+), rr AS (
+  SELECT qid, nbr_id, cosine, row_number() OVER (PARTITION BY qid
+         ORDER BY cosine DESC, nbr_id ASC) AS rank FROM ex
+)
+SELECT qid, nbr_id, CAST(rank AS INTEGER) AS rank,
+       round(cosine, 6) AS cosine
+FROM rr WHERE rank <= {k}
+"""
+
+
+
 # ===========================================================================
 # THE LIVE REGISTRY.
 #
@@ -4590,12 +4684,17 @@ ORACLES = {
     "repetition": ORACLE_REPETITION,
 }
 
-# The staging area is EMPTY this round (all 11 r6-staged entries flipped
-# into the live registry above).  Future rounds stage new/changed entries
-# here first; check_contract.py --staged and tests/test_staged_contract.py
-# certify them with the exact driver comparator before a flip.
-STAGED_QUERIES: dict = {}
-STAGED_ORACLES: dict = {}
+# Staging area: entries certified with the exact driver comparator
+# (check_contract.py --staged, tests/test_staged_contract.py) awaiting a
+# window slot.  The 11 r6-staged entries flipped into the registry above
+# this round; pq_topk (IVFADC+R) stages for r8 — r8 window demand is the
+# 46 frozen entries + staged flips, so up to 4 stage slots exist.
+STAGED_QUERIES: dict = {
+    "pq_topk": q_pq_topk,
+}
+STAGED_ORACLES: dict = {
+    "pq_topk": _oracle_pq_topk(),
+}
 
 # A staged/registry name clash would make check_contract.py --staged
 # (staged wins) certify one function while bench.py (registry wins)

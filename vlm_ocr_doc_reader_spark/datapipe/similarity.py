@@ -475,3 +475,195 @@ def lsh_topk_multiprobe(emb: DataFrame, planes: list[list[float]],
             .filter(F.col("rank") <= k)
             .select("qid", "nbr_id", "rank",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
+                k: int = 5, m_sub: int = 8, n_codes: int = 16,
+                rerank: int = 0,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-ADC approximate top-k with product quantization (Jegou,
+    Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+    Search", IEEE TPAMI) — the embedding-compression scale path: the
+    candidate join ships ``m_sub`` small ints + one norm per data
+    vector instead of the raw vector.
+
+    Index layout: the coarse stage is the ``ivf_topk`` cell structure
+    (md5-seeded centroids, vectors live in their nearest cell, queries
+    probe the ``n_probe`` nearest).  Within cells, each vector is encoded
+    once: its ``m_sub`` equal subvectors each map to the nearest of
+    ``n_codes`` codewords (codebook per subquantizer = the subvector
+    slices of a per-subquantizer md5-seeded sample; L2 argmin computed
+    as ``||c||^2 - 2<x,c>`` with codeword-index tie-break).  Queries
+    carry an ADC lookup table — dot(q_m, codeword) for all m x j — so
+    scoring a candidate is ``m_sub`` table lookups, never a full-dim
+    dot: approx_cos = sum_m lut[m][code_m] / (|q| * |reconstruction|).
+
+    Scale shape: codebooks collapse to ONE broadcast row (m_sub x
+    n_codes codewords); encoding and the per-query LUT are narrow
+    per-row array expressions (zero shuffle); the only corpus-sized
+    exchange is the candidate join on the cell id, and the DATA side of
+    that join carries (id, cid, codes array<int>, pq_norm) — at 64-dim
+    float32 that is ~20 bytes vs 256, an order of magnitude less
+    shuffle than exact IVF re-rank.  Determinism: every float fold runs
+    in fixed (dim, then m) order, the seeded samples and tie-breaks are
+    md5/index-based, so the result is partition-invariant and has an
+    exact DuckDB twin (gate entry ``pq_topk``).
+
+    Output: (qid, nbr_id, rank, adc_cos) — adc_cos is the quantized
+    approximation of the cosine (exact on the reconstructed vector).
+    With ``rerank=R > 0`` (IVFADC+R, the paper's refinement stage) the
+    ADC stage only PROPOSES the top-R shortlist per query; original
+    vectors are re-fetched for those R rows alone (a shortlist-sized
+    join, not a corpus shuffle) and the output is the exact-cosine
+    re-ranked top-k: (qid, nbr_id, rank, cosine).  On near-orthogonal
+    synthetic embeddings raw ADC ordering is noisy (codebooks are
+    seeded samples, not trained), so rerank is the recommended mode;
+    the recall test pins both.
+
+    Requires len(vec) divisible by ``m_sub``.
+    """
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+
+    # ---- coarse IVF cells (identical structure to ivf_topk) ----
+    ckeys = (emb.select(F.col(id_col).alias("cid"),
+                        F.md5(F.col(id_col).cast("string")).alias("_k"))
+             .orderBy("_k").limit(n_centroids).select("cid"))
+    cents = (emb.join(F.broadcast(ckeys), F.col(id_col) == F.col("cid"))
+             .select("cid",
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cvec")))
+    cents = cents.select("cid", "cvec", _norm2(F.col("cvec")).alias("cnorm"))
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
+
+    # ---- product codebooks: one md5-seeded sample per subquantizer;
+    # the m-th codebook is the m-th subvector slice of sample m ----
+    d_sub = (F.size("vd") / m_sub).cast("int")
+    cbs = None
+    for m in range(m_sub):
+        keys = (emb.select(
+            F.col(id_col).alias("kid"),
+            F.md5(F.concat(F.lit(f"pq{m}:"),
+                           F.col(id_col).cast("string"))).alias("_k"))
+            .orderBy("_k").limit(n_codes))
+        # codeword index = md5 rank; array-sort of the n_codes-row frame
+        # (not a window: no single-partition WindowExec over the corpus)
+        keys = (keys.agg(F.array_sort(
+            F.collect_list(F.struct("_k", "kid"))).alias("arr"))
+            .select(F.posexplode("arr").alias("j0", "s"))
+            .select((F.col("j0") + 1).cast("int").alias("j"),
+                    F.col("s.kid").alias("kid")))
+        sub = (emb.join(F.broadcast(keys), F.col(id_col) == F.col("kid"))
+               .withColumn("vd", F.transform(
+                   F.col(vec_col), lambda x: x.cast("double")))
+               .select(F.lit(m).alias("m"), "j",
+                       F.slice(F.col("vd"),
+                               F.lit(m) * (F.size("vd") / m_sub)
+                               .cast("int") + 1,
+                               (F.size("vd") / m_sub).cast("int"))
+                       .alias("cw")))
+        cbs = sub if cbs is None else cbs.unionByName(sub)
+    cbs = cbs.withColumn(
+        "c2", F.aggregate(F.transform("cw", lambda x: x * x),
+                          F.lit(0.0), lambda a, x: a + x))
+    cb_arr = cbs.agg(F.collect_list(F.struct("m", "j", "cw", "c2"))
+                     .alias("cb"))
+
+    base = (e.join(F.broadcast(cent_arr)).join(F.broadcast(cb_arr))
+            .withColumn("vd", vd)
+            .withColumn("vnorm", _norm2(F.col("vd"))))
+
+    def _cell_score(c):
+        cos = _dot(F.col("vd"), c["cvec"]) / (F.col("vnorm") * c["cnorm"])
+        ncos = F.coalesce(-cos, F.lit(float("inf")))
+        return F.struct(ncos.alias("ncos"), c["cid"].alias("cid"))
+
+    def _sub(vec, m):
+        return F.slice(vec, m * d_sub + 1, d_sub)
+
+    # encode: per m, argmin_j of ||c||^2 - 2<x_m, c> via struct-min
+    # (lexicographic (score, j) — deterministic tie-break); the selected
+    # struct carries j and ||c||^2 for the reconstruction norm
+    def _code(m):
+        ents = F.filter(F.col("cb"), lambda t: t["m"] == m)
+        scored = F.transform(
+            ents, lambda t: F.struct(
+                (t["c2"] - F.lit(2.0) * _dot(_sub(F.col("vd"), m),
+                                             t["cw"])).alias("score"),
+                t["j"].alias("j"), t["c2"].alias("c2")))
+        return F.array_min(scored)
+
+    tagged = (base
+              .withColumn("cells", F.slice(
+                  F.array_sort(F.transform(F.col("cents"), _cell_score)),
+                  1, n_probe))
+              .withColumn("enc", F.array(*[_code(m)
+                                           for m in range(m_sub)])))
+
+    # data side: cell + codes + reconstruction norm (m-ordered fold)
+    assign = tagged.select(
+        F.col("id").alias("nbr_id"),
+        F.element_at("cells", 1)["cid"].alias("cid"),
+        F.transform("enc", lambda s: s["j"]).alias("codes"),
+        F.sqrt(F.aggregate(F.transform("enc", lambda s: s["c2"]),
+                           F.lit(0.0), lambda a, x: a + x)).alias("pqn"))
+    # query side: probe cells + ADC lookup table dot(q_m, codeword)
+    lut = F.transform(
+        F.col("cb"), lambda t: F.struct(
+            t["m"].alias("m"), t["j"].alias("j"),
+            F.aggregate(
+                F.zip_with(F.element_at(F.col("subs"), t["m"] + 1),
+                           t["cw"], lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x).alias("val")))
+    probes = (tagged
+              .withColumn("subs", F.array(*[_sub(F.col("vd"), m)
+                                            for m in range(m_sub)]))
+              .withColumn("lut", lut)
+              .select(F.col("id").alias("qid"),
+                      F.col("vnorm").alias("qnorm"), "lut",
+                      F.explode(F.transform("cells", lambda s: s["cid"]))
+                      .alias("cid")))
+
+    cand = (probes.join(assign, "cid")
+            .filter(F.col("qid") != F.col("nbr_id")))
+    # ADC: m-ordered sum of lut[m][codes[m]]
+    adc_dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.filter(F.col("lut"),
+                     lambda t: (t["m"] == m)
+                     & (t["j"] == F.element_at(F.col("codes"), m + 1))),
+            1)["val"])
+    scored = cand.withColumn(
+        "adc_cos", (adc_dot / (F.col("qnorm") * F.col("pqn")))
+        .cast("double"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("adc_cos"),
+                                           F.asc("nbr_id"))
+    if not rerank:
+        return (scored.withColumn("rank", F.row_number().over(wq))
+                .filter(F.col("rank") <= k)
+                .select("qid", "nbr_id", "rank",
+                        F.round("adc_cos", 6).alias("adc_cos")))
+    # IVFADC+R: ADC proposes top-R, original vectors are fetched for the
+    # shortlist only (queries x R rows — never a corpus-wide vector
+    # shuffle), exact cosine disposes
+    short = (scored.withColumn("arank", F.row_number().over(wq))
+             .filter(F.col("arank") <= max(rerank, k))
+             .select("qid", "nbr_id"))
+    nbrs = (e.withColumn("vb", vd)
+            .select(F.col("id").alias("nbr_id"), "vb",
+                    _norm2(F.col("vb")).alias("nnorm")))
+    qs = (e.withColumn("va", vd)
+          .select(F.col("id").alias("qid"), "va"))
+    ex = (short.join(qs, "qid").join(nbrs, "nbr_id")
+          .withColumn("cosine", (_dot(F.col("va"), F.col("vb"))
+                                 / (_norm2(F.col("va")) * F.col("nnorm")))
+          .cast("double")))
+    we = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                           F.asc("nbr_id"))
+    return (ex.withColumn("rank", F.row_number().over(we))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
