@@ -4450,6 +4450,80 @@ FROM rr WHERE rank <= {k}
 
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filtered benchmark decontamination: filter built over the
+    eval split's 8-gram shingles (doc_id % 10 == 0), train side probed
+    with ZERO train-side shuffle (single-row broadcast map + narrow
+    fold).  STAGED for the r8 window; certified by test_staged_contract
+    + check_contract --staged."""
+    from .datapipe.sketches import bloom_decontaminate
+    d = load(spark, sf_dir, "documents", lift=True)
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(tr, ev)
+
+
+def _oracle_bloom_decontam(k_shingle: int = 8, m_bits: int = 1 << 16,
+                           k_hashes: int = 5, min_hits: int = 2) -> str:
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    return f"""
+WITH evw AS (
+  SELECT string_split(lower(regexp_replace(trim(text), '{ws}', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents WHERE doc_id % 10 = 0
+), evs AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(ws) >= {k_shingle}
+         THEN list_transform(
+                generate_series(1, len(ws) - {k_shingle} + 1),
+                i -> array_to_string(
+                       array_slice(ws, i, i + {k_shingle} - 1), ' '))
+         ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM evw
+), hs AS (SELECT unnest(generate_series(0, {k_hashes - 1})) AS h),
+evpos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || shingle),
+                             1, 12) AS BIGINT) % {m_bits} AS pos
+  FROM evs CROSS JOIN hs h
+), bloom AS (
+  SELECT CAST(pos // 32 AS INTEGER) AS w,
+         bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS bits
+  FROM evpos GROUP BY 1
+), trw AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '{ws}', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents WHERE doc_id % 10 <> 0
+), trs AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(ws) >= {k_shingle}
+         THEN list_transform(
+                generate_series(1, len(ws) - {k_shingle} + 1),
+                i -> array_to_string(
+                       array_slice(ws, i, i + {k_shingle} - 1), ' '))
+         ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM trw
+), probe AS (
+  SELECT t.doc_id, t.shingle, h.h,
+         CAST('0x' || substr(md5(CAST(h.h AS VARCHAR) || ':' || t.shingle),
+                             1, 12) AS BIGINT) % {m_bits} AS pos
+  FROM trs t CROSS JOIN hs h
+), checked AS (
+  SELECT p.doc_id, p.shingle,
+         bool_and(coalesce(b.bits, 0)
+                  & CAST(pow(2, p.pos % 32) AS BIGINT) <> 0) AS maybe
+  FROM probe p LEFT JOIN bloom b ON b.w = CAST(p.pos // 32 AS INTEGER)
+  GROUP BY p.doc_id, p.shingle
+)
+SELECT doc_id AS id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (maybe) AS BIGINT) AS n_maybe_hits,
+       count(*) FILTER (maybe) >= {min_hits} AS flagged
+FROM checked GROUP BY doc_id
+"""
+
+
 # ===========================================================================
 # THE LIVE REGISTRY.
 #
@@ -4691,9 +4765,11 @@ ORACLES = {
 # 46 frozen entries + staged flips, so up to 4 stage slots exist.
 STAGED_QUERIES: dict = {
     "pq_topk": q_pq_topk,
+    "bloom_decontam": q_bloom_decontam,
 }
 STAGED_ORACLES: dict = {
     "pq_topk": _oracle_pq_topk(),
+    "bloom_decontam": _oracle_bloom_decontam(),
 }
 
 # A staged/registry name clash would make check_contract.py --staged

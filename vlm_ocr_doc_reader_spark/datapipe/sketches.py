@@ -206,3 +206,100 @@ def histogram_quantiles(df: DataFrame, col: str, qs: list[float],
                     F.round(F.when(F.col("_hi") == F.col("_lo"),
                                    F.col("_lo")).otherwise(val), 6)
                     .alias("value")))
+
+
+def _bloom_pos_structs(col: str, m_bits: int, k_hashes: int):
+    """Array of (w, mask) structs for a value — the ONE definition of the
+    Bloom hash family, shared by build and probe: position_h(x) =
+    first-12-hex of md5(h || ':' || x) mod m_bits, stored as bit
+    (pos % 32) of 32-bit word (pos // 32) inside a BIGINT (32 bits per
+    word keeps every mask positive in both engines' signed arithmetic)."""
+    def one(h):
+        pos = (F.conv(F.substring(
+            F.md5(F.concat(h.cast("string"), F.lit(":"),
+                           F.col(col).cast("string"))),
+            1, 12), 16, 10).cast("long") % m_bits)
+        return F.struct(
+            (pos / 32).cast("int").alias("w"),
+            # classic-API shiftleft needs a literal shift; pow is exact
+            # for 2^0..2^31 (well under double's 2^53 integer range)
+            F.pow(F.lit(2.0), (pos % 32).cast("int"))
+            .cast("long").alias("mask"))
+    return F.transform(F.sequence(F.lit(0), F.lit(k_hashes - 1)), one)
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 16,
+                k_hashes: int = 5) -> DataFrame:
+    """Bloom filter over ``df[col]``: (w, bits) — one row per non-empty
+    32-bit word (hash family: ``_bloom_pos_structs``).  No false
+    negatives ever; false-positive rate ~ (1 - e^(-k*n/m))^k.
+
+    Scale shape: one narrow explode (k_hashes rows per input row) + one
+    bit_or aggregate on the word index — at most m_bits/32 groups after
+    map-side combine, so the shuffle is O(m_bits) regardless of input
+    size, and the finished filter is a broadcastable few-thousand-row
+    table.  The decontamination use: build over the EVAL set's shingles
+    (small side), probe the 100-TB train side with zero train-side
+    shuffle (``bloom_probe``)."""
+    h = _bloom_pos_structs(col, m_bits, k_hashes)
+    return (df.select(F.explode(h).alias("_h"))
+            .select("_h.w", "_h.mask")
+            .groupBy("w")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_probe(items: DataFrame, col: str, bloom: DataFrame,
+                m_bits: int = 1 << 16, k_hashes: int = 5) -> DataFrame:
+    """Probe: input rows + ``maybe_present`` (true iff ALL k bits set —
+    possibly a false positive, never a false negative).  ``m_bits`` /
+    ``k_hashes`` MUST match the build call; the shared
+    ``_bloom_pos_structs`` keeps the family itself in sync.
+
+    Scale shape: the filter collapses to ONE broadcast map row
+    (word -> bits, at most m_bits/32 entries); the verdict is a narrow
+    per-row fold over the k map lookups — the probed (train) side's
+    rows NEVER leave their partitions.  This is the whole point vs the
+    distinct-shingle equi-join decontamination: zero probe-side
+    exchange."""
+    filt = bloom.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("_bf"))
+    h = _bloom_pos_structs(col, m_bits, k_hashes)
+    verdict = F.aggregate(
+        h, F.lit(True),
+        lambda acc, s: acc & (F.coalesce(
+            F.element_at(F.col("_bf"), s["w"]), F.lit(0).cast("long"))
+            .bitwiseAND(s["mask"]) != 0))
+    return (items.join(F.broadcast(filt))
+            .withColumn("maybe_present", verdict)
+            .drop("_bf"))
+
+
+def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        k_shingle: int = 8, m_bits: int = 1 << 16,
+                        k_hashes: int = 5,
+                        min_hits: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination with a Bloom-filtered probe: build the
+    filter over the EVAL set's k-word shingles, flag every train doc
+    whose shingles hit it ``min_hits``+ times.
+
+    Output: (id, n_shingles, n_maybe_hits, flagged) — counts are ints
+    (no float hazard).  vs ``dedup.decontaminate``'s distinct-shingle
+    equi-join: the train side here never shuffles its shingles to an
+    exchange — each shingle is scored against the broadcast filter in
+    place — at the price of Bloom false positives (bounded by m/k; a
+    flagged doc can be exactly re-checked with the equi-join on the
+    tiny flagged subset).  No false negatives: every true overlap is
+    counted."""
+    from .dedup import shingles
+    ev = shingles(eval_df, k=k_shingle, id_col=id_col, text_col=text_col) \
+        .select("shingle").distinct()
+    bloom = bloom_build(ev, "shingle", m_bits, k_hashes)
+    tr = shingles(train, k=k_shingle, id_col=id_col, text_col=text_col)
+    probed = bloom_probe(tr, "shingle", bloom, m_bits, k_hashes)
+    return (probed.groupBy("id")
+            .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                 F.count_if("maybe_present").cast("bigint")
+                 .alias("n_maybe_hits"))
+            .withColumn("flagged", F.col("n_maybe_hits") >= min_hits))
