@@ -4524,6 +4524,60 @@ FROM checked GROUP BY doc_id
 """
 
 
+def q_margin_pairs(spark, sf_dir):
+    """Margin-based aligned-pair mining (Artetxe & Schwenk 2019) between
+    the even-id and odd-id halves of the embeddings table: ratio-margin
+    over forward top-4 candidates, mutual-best pairs.  STAGED for the
+    r8 window; certified by test_staged_contract + --staged."""
+    from .datapipe.similarity import margin_pairs
+    e = load(spark, sf_dir, "embeddings", lift=True)
+    return margin_pairs(e.filter(F.col("vec_id") % 2 == 0),
+                        e.filter(F.col("vec_id") % 2 == 1), k=4)
+
+
+def _oracle_margin_pairs(k: int = 4) -> str:
+    return f"""
+WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 2 = 1),
+fr AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM a CROSS JOIN b
+), fwd AS (
+  SELECT a_id, b_id, round(c, 6) AS cosine,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY c DESC, b_id ASC) AS rank
+  FROM fr QUALIFY rank <= {k}
+), bwd AS (
+  SELECT b_id, a_id, round(c, 6) AS cosine,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY c DESC, a_id ASC) AS rank
+  FROM fr QUALIFY rank <= {k}
+), pa AS (
+  SELECT a_id, list_sum(list(cosine ORDER BY rank)) / count(*) AS pen_a
+  FROM fwd GROUP BY a_id
+), pb AS (
+  SELECT b_id, list_sum(list(cosine ORDER BY rank)) / count(*) AS pen_b
+  FROM bwd GROUP BY b_id
+), scored AS (
+  SELECT f.a_id, f.b_id, f.cosine,
+         f.cosine / ((pa.pen_a + pb.pen_b) / 2) AS m
+  FROM fwd f JOIN pa USING (a_id) JOIN pb USING (b_id)
+), best AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY m DESC, b_id ASC) AS ra,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY m DESC, a_id ASC) AS rb
+  FROM scored
+)
+SELECT a_id, b_id, cosine, round(m, 6) AS margin
+FROM best WHERE ra = 1 AND rb = 1
+"""
+
+
 # ===========================================================================
 # THE LIVE REGISTRY.
 #
@@ -4766,10 +4820,12 @@ ORACLES = {
 STAGED_QUERIES: dict = {
     "pq_topk": q_pq_topk,
     "bloom_decontam": q_bloom_decontam,
+    "margin_pairs": q_margin_pairs,
 }
 STAGED_ORACLES: dict = {
     "pq_topk": _oracle_pq_topk(),
     "bloom_decontam": _oracle_bloom_decontam(),
+    "margin_pairs": _oracle_margin_pairs(),
 }
 
 # A staged/registry name clash would make check_contract.py --staged

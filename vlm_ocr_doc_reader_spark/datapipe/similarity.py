@@ -667,3 +667,62 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
             .filter(F.col("rank") <= k)
             .select("qid", "nbr_id", "rank",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def margin_pairs(emb_a: DataFrame, emb_b: DataFrame, k: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Margin-based aligned-pair mining between two embedding sets
+    (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings", ACL — the ratio-margin
+    criterion): score each forward top-k candidate pair by
+    cos(a, b) / ((pen_a + pen_b) / 2), where pen_x is the mean cosine
+    of x's k nearest neighbors on the OTHER side, and keep the pairs
+    that are mutual margin-best.  The margin normalizes away hubness —
+    a vector that is close to everything earns a high penalty and must
+    beat it to align.
+
+    Composition: the neighbor scans ARE ``brute_force_topk`` (one
+    broadcast-side pass each way; swap in ``lsh_topk``/``ivf_pq_topk``
+    candidates upstream for corpus-scale sides), so cosines enter the
+    margin already round-6 — the penalty means fold those k values in
+    RANK order (deterministic), and ties in margin break on the partner
+    id.  Output: (a_id, b_id, cosine, margin), mutual-best pairs only.
+
+    Scale shape: two top-k scans + three key joins on id-sized frames
+    (pa/pb are one row per vector, broadcast-able); the pair frame
+    entering the margin stage is k rows per A vector, never |A| x |B|.
+    """
+    qa = emb_a.select(F.col(id_col).alias("qid"),
+                      F.col(vec_col).alias("qvec"))
+    qb = emb_b.select(F.col(id_col).alias("qid"),
+                      F.col(vec_col).alias("qvec"))
+    fwd = brute_force_topk(emb_b, qa, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = brute_force_topk(emb_a, qb, k=k, id_col=id_col, vec_col=vec_col)
+
+    def penalty(df):
+        arr = F.array_sort(F.collect_list(F.struct("rank", "cosine")))
+        out = df.groupBy("qid").agg(arr.alias("arr"))
+        tot = F.aggregate(F.transform("arr", lambda s: s["cosine"]),
+                          F.lit(0.0), lambda a, x: a + x)
+        return out.select("qid", (tot / F.size("arr")).alias("pen"))
+
+    pa = penalty(fwd).select(F.col("qid").alias("a_id"),
+                             F.col("pen").alias("pen_a"))
+    pb = penalty(bwd).select(F.col("qid").alias("b_id"),
+                             F.col("pen").alias("pen_b"))
+    scored = (fwd.select(F.col("qid").alias("a_id"),
+                         F.col("nbr_id").alias("b_id"), "cosine")
+              .join(pa, "a_id").join(pb, "b_id")
+              .withColumn("margin",
+                          F.col("cosine")
+                          / ((F.col("pen_a") + F.col("pen_b")) / 2)))
+    wa = Window.partitionBy("a_id").orderBy(F.desc("margin"),
+                                            F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("margin"),
+                                            F.asc("a_id"))
+    best = (scored.withColumn("ra", F.row_number().over(wa))
+            .withColumn("rb", F.row_number().over(wb))
+            .filter((F.col("ra") == 1) & (F.col("rb") == 1)))
+    return best.select("a_id", "b_id", "cosine",
+                       F.round("margin", 6).alias("margin"))
