@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "drift_report", "gopher_report", "url_report", "interleaved_report",
     "substring_dedup", "semdedup", "dsir_select", "rake", "extract_diff",
     "hybrid_search", "lsh_multiprobe",
+    # r8-staged entries (contract.STAGED_QUERIES): benched pre-flip so the
+    # next round starts with a measured baseline, not a guess
+    "pq_topk", "bloom_decontam", "margin_pairs",
 ]
 # per-query timing protocol: QUERY_RUNS INTERLEAVED passes over the whole
 # query list (pass 1 runs every query once, then pass 2, ...), published

@@ -4815,8 +4815,11 @@ ORACLES = {
 # Staging area: entries certified with the exact driver comparator
 # (check_contract.py --staged, tests/test_staged_contract.py) awaiting a
 # window slot.  The 11 r6-staged entries flipped into the registry above
-# this round; pq_topk (IVFADC+R) stages for r8 — r8 window demand is the
-# 46 frozen entries + staged flips, so up to 4 stage slots exist.
+# this round.  R8 ARITHMETIC: the 46 entries below the r7 window marker
+# re-enter the r8 window under rule (a); 46 + the 3 staged flips below
+# = 49 demand against the 50-row window, leaving ONE slot of slack for
+# unplanned r8 changes — do NOT stage a 4th entry without consolidating.
+# Registry after the r8 flip: 99 <= 100.
 STAGED_QUERIES: dict = {
     "pq_topk": q_pq_topk,
     "bloom_decontam": q_bloom_decontam,
