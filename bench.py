@@ -546,7 +546,10 @@ def _write_bench_md(r: dict) -> None:
         "samples while the box's absolute local[2] level drifted 59.3 "
         "-> 76.5 s (+29%) — the HOST's ceiling moved, the engine sat at "
         "it both rounds, and the extract path was byte-identical to r5 "
-        "(git-diff-verified).  The engine's own dataflow adds NO "
+        "(git-diff-verified).  r7 closed the question with ADJACENT "
+        "probes (the paragraph above): engine efficiency recovered to "
+        ">= 0.8 outright with engine/probe at or above 1x the host's "
+        "own ceiling — the r6 0.709 was the box.  The engine's own dataflow adds NO "
         "cross-task dependency (the fused plan is a zero-shuffle map), "
         "so executor counts on a real cluster scale it by construction.",
         "",
