@@ -90,3 +90,13 @@ def test_rerank_outputs_exact_cosines(spark, emb):
         "want", F.round(dot / (nrm("va") * nrm("vb")), 6))
     bad = chk.filter(F.abs(F.col("cosine") - F.col("want")) > 1e-9)
     assert bad.count() == 0
+
+
+def test_indivisible_dim_raises(spark):
+    """A dimension not divisible by m_sub must raise per-row instead of
+    silently dropping trailing dims from every subvector."""
+    bad = spark.createDataFrame(
+        [(i, [float(j) for j in range(15)]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="not divisible"):
+        ivf_pq_topk(bad, k=2, m_sub=4).collect()

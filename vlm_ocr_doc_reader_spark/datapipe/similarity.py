@@ -586,7 +586,17 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
         return F.struct(ncos.alias("ncos"), c["cid"].alias("cid"))
 
     def _sub(vec, m):
-        return F.slice(vec, m * d_sub + 1, d_sub)
+        # a dimension not divisible by m_sub would silently drop the
+        # trailing dims from every subvector — fail loudly per row
+        # instead (the check folds to a no-op when sizes divide evenly)
+        guarded = F.when(
+            F.size(vec) % m_sub != 0,
+            F.raise_error(F.concat(
+                F.lit("ivf_pq_topk: vector dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" is not divisible by m_sub={m_sub}")))
+        ).otherwise(vec)
+        return F.slice(guarded, m * d_sub + 1, d_sub)
 
     # encode: per m, argmin_j of ||c||^2 - 2<x_m, c> via struct-min
     # (lexicographic (score, j) — deterministic tie-break); the selected
