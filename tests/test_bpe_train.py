@@ -173,3 +173,50 @@ def test_apply_bpe_batched_200_merges(spark):
     want = {i: [t for w in text.split() for t in _ref_replay(w, ordered)]
             for i, text in rows}
     assert got == want
+
+
+def test_apply_bpe_batched_hypothesis_parity(spark):
+    """Property fuzz: on random corpora and random (chained) merge
+    tables within the expression path's bound, the two replay paths are
+    bit-identical.  Complements the fixed-seed tests with breadth —
+    unicode words, empty docs, single-char alphabets, self-merges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vlm_ocr_doc_reader_spark.datapipe.bpe import apply_bpe_batched
+
+    alphabet = st.sampled_from(list("abcé𝛼"))
+    word = st.text(alphabet, min_size=0, max_size=8)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def run(data):
+        words = data.draw(st.lists(word, min_size=1, max_size=12))
+        texts = [" ".join(data.draw(
+            st.lists(st.sampled_from(words), min_size=0, max_size=6)))
+            for _ in range(4)]
+        # chained merge table: tokens grow from earlier merges
+        toks = list("abcé𝛼")
+        merges, seen = [], set()
+        n = data.draw(st.integers(min_value=1, max_value=12))
+        while len(merges) < n:
+            a = data.draw(st.sampled_from(toks))
+            b = data.draw(st.sampled_from(list("abcé𝛼")))
+            if (a, b) in seen or len(a + b) > 10:
+                if len(seen) > 60:
+                    break
+                seen.add((a, b))
+                continue
+            seen.add((a, b))
+            merges.append({"rank": len(merges), "sym_a": a, "sym_b": b,
+                           "count": 1})
+            toks.append(a + b)
+        d = spark.createDataFrame(list(enumerate(texts)),
+                                  "doc_id long, text string")
+        x = {r["id"]: list(r["tokens"])
+             for r in apply_bpe(d, merges).collect()}
+        y = {r["id"]: list(r["tokens"])
+             for r in apply_bpe_batched(d, merges).collect()}
+        assert x == y
+
+    run()
