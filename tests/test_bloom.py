@@ -82,3 +82,30 @@ def test_decontaminate_partition_invariant(spark):
     b = sorted(map(tuple,
                    bloom_decontaminate(tr.repartition(7), ev).collect()))
     assert a == b
+
+
+def test_bloom_probe_is_streaming_safe(spark, tmp_path, member_df):
+    """The Bloom probe is a stateless narrow transform over a broadcast
+    batch filter, so it composes onto a readStream — the in-flight
+    decontamination shape (filter built once over the eval set, every
+    arriving train doc scored in its micro-batch).  Plan construction on
+    a streaming frame + an availableNow drain prove stream-safety and
+    correctness end-to-end."""
+    import os
+
+    bf = bloom_build(member_df, "x")
+    in_dir, out, ckpt = (str(tmp_path / p) for p in ("in", "out", "ckpt"))
+    spark.createDataFrame(
+        [("item_3",), ("item_7",), ("fresh_a",), ("fresh_b",)],
+        "x string").coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema("x string").parquet(in_dir)
+    probed = bloom_probe(stream, "x", bf)
+    assert probed.isStreaming
+    q = (probed.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.x: r.maybe_present for r in spark.read.parquet(out).collect()}
+    assert got == {"item_3": True, "item_7": True,
+                   "fresh_a": False, "fresh_b": False}
+    assert os.path.isdir(ckpt)
