@@ -3,6 +3,9 @@ on Spark and its oracle_sql() on DuckDB over the same parquet tables, compare
 row-count + schema + order-insensitive values.
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
+       --staged   also run contract.STAGED_QUERIES (pre-flip certification)
+       --window   only the first 50 registry entries (exactly the rows the
+                  driver will snapshot this round)
 """
 
 from __future__ import annotations
@@ -111,13 +114,18 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--staged"]
+    flags = {"--staged", "--window"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     staged = "--staged" in sys.argv[1:]
+    window = "--window" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
     from vlm_ocr_doc_reader_spark.contract import ORACLES, QUERIES
     from vlm_ocr_doc_reader_spark.sources.session import get_spark
+
+    if window:
+        QUERIES = dict(list(QUERIES.items())[:50])
 
     if staged:
         # append the r7-staged entries so the next window is certified
