@@ -75,12 +75,24 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     ``queries``: (qid, qvec).  The query side is broadcast (small by
     contract), so the corpus is scanned once with no shuffle; the top-k is a
-    per-qid window.  Output: (qid, nbr_id, rank, cosine)."""
-    corpus = emb.select(F.col(id_col).alias("nbr_id"),
-                        F.col(vec_col).alias("vb"))
-    crossed = F.broadcast(queries.select("qid", F.col("qvec").alias("va"))) \
-        .join(corpus, F.col("qid") != F.col("nbr_id"))
-    scored = with_cosine(crossed)
+    per-qid window.  Output: (qid, nbr_id, rank, cosine).
+
+    Each side's double-cast and norm are computed ONCE per row and carried
+    through the join (the ``_with_vec_norm`` pattern): every vector lands
+    in many pairs, and re-deriving cast + both norms per PAIR tripled the
+    per-pair fold count.  Values are bit-identical — the same operations
+    on the same inputs in the same order (dot / (qnorm * nnorm)), just
+    cached per side instead of re-run per pair."""
+    corpus = (emb.select(F.col(id_col).alias("nbr_id"),
+                         F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double")).alias("vb"))
+              .withColumn("nnorm", _norm2(F.col("vb"))))
+    qs = (queries.select("qid",
+                         F.transform(F.col("qvec"),
+                                     lambda x: x.cast("double")).alias("va"))
+          .withColumn("qnorm", _norm2(F.col("va"))))
+    crossed = F.broadcast(qs).join(corpus, F.col("qid") != F.col("nbr_id"))
+    scored = crossed.withColumn("cosine", _carried_cosine())
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -539,32 +551,50 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
         F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
 
     # ---- product codebooks: one md5-seeded sample per subquantizer;
-    # the m-th codebook is the m-th subvector slice of sample m ----
+    # the m-th codebook is the m-th subvector slice of sample m.
+    # ONE-PASS selection (was a 16-branch union, one TakeOrdered job +
+    # scan + broadcast join PER subquantizer — measured ~2.5-4 s of this
+    # query's wall time, over a third of it driver-side plan analysis of
+    # the 16-way union): explode the (m, md5) keys per row, then
+    # shard-and-merge top-n_codes per m — per-(m, shard) top-k bounds
+    # every aggregation state, the only corpus-sized exchange carries
+    # (m, _k, kid) ~24-byte rows, and the merge input is
+    # m_sub x n_shards x n_codes rows.  The shard key is derived from
+    # the md5 itself (deterministic under retries, guide on synthetic
+    # keys); the selected ids and their j ranks are IDENTICAL to the
+    # per-m orderBy/limit form — top-k of a disjoint shard union is
+    # top-k of the whole. ----
     d_sub = (F.size("vd") / m_sub).cast("int")
-    cbs = None
-    for m in range(m_sub):
-        keys = (emb.select(
-            F.col(id_col).alias("kid"),
-            F.md5(F.concat(F.lit(f"pq{m}:"),
-                           F.col(id_col).cast("string"))).alias("_k"))
-            .orderBy("_k").limit(n_codes))
-        # codeword index = md5 rank; array-sort of the n_codes-row frame
-        # (not a window: no single-partition WindowExec over the corpus)
-        keys = (keys.agg(F.array_sort(
-            F.collect_list(F.struct("_k", "kid"))).alias("arr"))
-            .select(F.posexplode("arr").alias("j0", "s"))
-            .select((F.col("j0") + 1).cast("int").alias("j"),
+    n_shards = 32
+    mk = (emb.select(F.col(id_col).alias("kid"))
+          .select("kid", F.explode(F.array(*[
+              F.struct(
+                  F.lit(m).alias("m"),
+                  F.md5(F.concat(F.lit(f"pq{m}:"),
+                                 F.col("kid").cast("string"))).alias("_k"))
+              for m in range(m_sub)])).alias("mk"))
+          .select(F.col("mk.m").alias("m"), F.col("mk._k").alias("_k"),
+                  "kid"))
+    shard = F.pmod(F.conv(F.substring("_k", 1, 4), 16, 10).cast("int"),
+                   F.lit(n_shards))
+    part = (mk.groupBy("m", shard.alias("_s"))
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct("_k", "kid"))), 1, n_codes).alias("arr")))
+    keys = (part.groupBy("m")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("arr"))),
+                         1, n_codes).alias("arr"))
+            .select("m", F.posexplode("arr").alias("j0", "s"))
+            .select("m", (F.col("j0") + 1).cast("int").alias("j"),
                     F.col("s.kid").alias("kid")))
-        sub = (emb.join(F.broadcast(keys), F.col(id_col) == F.col("kid"))
-               .withColumn("vd", F.transform(
-                   F.col(vec_col), lambda x: x.cast("double")))
-               .select(F.lit(m).alias("m"), "j",
-                       F.slice(F.col("vd"),
-                               F.lit(m) * (F.size("vd") / m_sub)
-                               .cast("int") + 1,
-                               (F.size("vd") / m_sub).cast("int"))
-                       .alias("cw")))
-        cbs = sub if cbs is None else cbs.unionByName(sub)
+    cbs = (emb.join(F.broadcast(keys), F.col(id_col) == F.col("kid"))
+           .withColumn("vd", F.transform(
+               F.col(vec_col), lambda x: x.cast("double")))
+           .select("m", "j",
+                   F.slice(F.col("vd"),
+                           F.col("m") * (F.size("vd") / m_sub)
+                           .cast("int") + 1,
+                           (F.size("vd") / m_sub).cast("int"))
+                   .alias("cw")))
     cbs = cbs.withColumn(
         "c2", F.aggregate(F.transform("cw", lambda x: x * x),
                           F.lit(0.0), lambda a, x: a + x))
@@ -669,13 +699,19 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                .filter(F.size("members") <= max_cell))
 
     def _adc(mm):
-        # m-ordered sum of lut[m*K + codes[m]] (codes are 1-based)
-        adot = F.aggregate(
-            F.sequence(F.lit(0), F.lit(m_sub - 1)), F.lit(0.0),
-            lambda acc, m: acc + F.element_at(
+        # m-ordered sum of lut[m*K + codes[m]] (codes are 1-based),
+        # UNROLLED over the (Python-int) m_sub: the aggregate-over-
+        # sequence form allocated the index array and dispatched the
+        # lambda per m for every (query, member) pair — this is the
+        # innermost expression of the whole query (queries x probes x
+        # cell members evaluations).  Same left-to-right additions from
+        # the same 0.0 seed, so values are bit-identical.
+        adot = F.lit(0.0)
+        for m in range(m_sub):
+            adot = adot + F.element_at(
                 F.col("lut"),
                 (m * n_codes + F.element_at(mm["codes"], m + 1))
-                .cast("int")))
+                .cast("int"))
         return (adot / (F.col("qnorm") * mm["pqn"])).cast("double")
 
     r_short = max(rerank, k) if rerank else k

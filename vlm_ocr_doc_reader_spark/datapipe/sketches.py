@@ -208,16 +208,22 @@ def histogram_quantiles(df: DataFrame, col: str, qs: list[float],
                     .alias("value")))
 
 
-def _bloom_pos_structs(col: str, m_bits: int, k_hashes: int):
+def _bloom_pos_structs(col, m_bits: int, k_hashes: int):
     """Array of (w, mask) structs for a value — the ONE definition of the
     Bloom hash family, shared by build and probe: position_h(x) =
     first-12-hex of md5(h || ':' || x) mod m_bits, stored as bit
     (pos % 32) of 32-bit word (pos // 32) inside a BIGINT (32 bits per
-    word keeps every mask positive in both engines' signed arithmetic)."""
+    word keeps every mask positive in both engines' signed arithmetic).
+
+    ``col``: a column name or a Column (e.g. a higher-order-function
+    lambda variable, so the family can be evaluated per array element
+    without exploding)."""
+    c = F.col(col) if isinstance(col, str) else col
+
     def one(h):
         pos = (F.conv(F.substring(
             F.md5(F.concat(h.cast("string"), F.lit(":"),
-                           F.col(col).cast("string"))),
+                           c.cast("string"))),
             1, 12), 16, 10).cast("long") % m_bits)
         return F.struct(
             (pos / 32).cast("int").alias("w"),
@@ -291,15 +297,45 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
     place — at the price of Bloom false positives (bounded by m/k; a
     flagged doc can be exactly re-checked with the equi-join on the
     tiny flagged subset).  No false negatives: every true overlap is
-    counted."""
-    from .dedup import shingles
-    ev = shingles(eval_df, k=k_shingle, id_col=id_col, text_col=text_col) \
-        .select("shingle").distinct()
+    counted.
+
+    Input contract: ONE row per train id (the per-row counting below
+    scores each row independently, like ``dedup.minhash_signatures``);
+    pre-aggregate text per id first if ids can span rows."""
+    from .dedup import _shingle_array
+
+    # build side: explode per-row DISTINCT shingles straight into the
+    # word aggregate — no (id, shingle) distinct exchange (bit_or is
+    # idempotent, so cross-doc duplicate shingles OR the same bits); the
+    # only build exchange is bloom_build's O(m_bits) word groupBy
+    ev = eval_df.select(
+        F.explode(F.array_distinct(_shingle_array(k_shingle, text_col)))
+        .alias("shingle"))
     bloom = bloom_build(ev, "shingle", m_bits, k_hashes)
-    tr = shingles(train, k=k_shingle, id_col=id_col, text_col=text_col)
-    probed = bloom_probe(tr, "shingle", bloom, m_bits, k_hashes)
-    return (probed.groupBy("id")
-            .agg(F.count("*").cast("bigint").alias("n_shingles"),
-                 F.count_if("maybe_present").cast("bigint")
-                 .alias("n_maybe_hits"))
+
+    # probe side: fully per-row — the doc's distinct shingle array and
+    # the per-shingle Bloom verdicts are narrow folds over the one-row
+    # broadcast filter map, so the train side has NO exchange at all
+    # (the old shape paid a corpus-wide (id, shingle) distinct plus a
+    # groupBy(id) count; same counts, zero shuffles)
+    filt = bloom.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("_bf"))
+
+    def _maybe(s):
+        h = _bloom_pos_structs(s, m_bits, k_hashes)
+        return F.aggregate(
+            h, F.lit(True),
+            lambda acc, st: acc & (F.coalesce(
+                F.element_at(F.col("_bf"), st["w"]),
+                F.lit(0).cast("long"))
+                .bitwiseAND(st["mask"]) != 0))
+
+    return (train.join(F.broadcast(filt))
+            .select(F.col(id_col).alias("id"),
+                    F.array_distinct(_shingle_array(k_shingle, text_col))
+                    .alias("_shs"), "_bf")
+            .select("id",
+                    F.size("_shs").cast("bigint").alias("n_shingles"),
+                    F.size(F.filter("_shs", _maybe)).cast("bigint")
+                    .alias("n_maybe_hits"))
             .withColumn("flagged", F.col("n_maybe_hits") >= min_hits))
