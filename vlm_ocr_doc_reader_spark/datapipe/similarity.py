@@ -615,37 +615,48 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
         ncos = F.coalesce(-cos, F.lit(float("inf")))
         return F.struct(ncos.alias("ncos"), c["cid"].alias("cid"))
 
-    def _sub(vec, m):
+    def _guarded(vec):
         # a dimension not divisible by m_sub would silently drop the
         # trailing dims from every subvector — fail loudly per row
-        # instead (the check folds to a no-op when sizes divide evenly)
-        guarded = F.when(
+        # instead (the check folds to a no-op when sizes divide evenly).
+        # Hoisted to ONE column ("vdg") per consumer frame: the old shape
+        # rebuilt this guard inside every per-m slice, 16x per row of
+        # pure plan-construction overhead (py4j round trips dominate the
+        # bench's per-call cost — the whole query tree was measured at
+        # ~3.4 s of driver-side Python before any job ran).
+        return F.when(
             F.size(vec) % m_sub != 0,
             F.raise_error(F.concat(
                 F.lit("ivf_pq_topk: vector dim "),
                 F.size(vec).cast("string"),
                 F.lit(f" is not divisible by m_sub={m_sub}")))
         ).otherwise(vec)
-        return F.slice(guarded, m * d_sub + 1, d_sub)
+
+    def _sub(m):
+        return F.slice(F.col("vdg"), m * d_sub + 1, d_sub)
 
     # encode: per m, argmin_j of ||c||^2 - 2<x_m, c> via struct-min
     # (lexicographic (score, j) — deterministic tie-break); the selected
-    # struct carries j and ||c||^2 for the reconstruction norm
-    def _code(m):
-        ents = F.slice(F.col("cb_s"), m * n_codes + 1, n_codes)
-        scored = F.transform(
-            ents, lambda t: F.struct(
-                (t["c2"] - F.lit(2.0) * _dot(_sub(F.col("vd"), m),
-                                             t["cw"])).alias("score"),
-                t["j"].alias("j"), t["c2"].alias("c2")))
-        return F.array_min(scored)
+    # struct carries j and ||c||^2 for the reconstruction norm.  ONE
+    # transform-over-sequence expression instead of a python loop over
+    # m (16x smaller tree, same per-row arithmetic in the same order —
+    # the HOF lambda is per ROW, not per candidate pair, so interpreted
+    # dispatch here is negligible).
+    enc = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.array_min(F.transform(
+            F.slice(F.col("cb_s"), m * n_codes + 1, n_codes),
+            lambda t: F.struct(
+                (t["c2"] - F.lit(2.0) * _dot(_sub(m), t["cw"]))
+                .alias("score"),
+                t["j"].alias("j"), t["c2"].alias("c2")))))
 
     tagged = (base
+              .withColumn("vdg", _guarded(F.col("vd")))
               .withColumn("cells", F.slice(
                   F.array_sort(F.transform(F.col("cents"), _cell_score)),
                   1, n_probe))
-              .withColumn("enc", F.array(*[_code(m)
-                                           for m in range(m_sub)])))
+              .withColumn("enc", enc))
     # NOTE: tagged feeds both sides of the candidate join and is
     # recomputed per branch by design — persisting it was MEASURED
     # SLOWER at sf0.1 (19.6 s vs 14.2 s: materializing the vector
@@ -673,8 +684,9 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
             F.lit(0.0), lambda a, x: a + x))
     probes = (tagged.join(F.broadcast(cb_arr))
               .withColumn("cb_s", F.array_sort(F.col("cb"))).drop("cb")
-              .withColumn("subs", F.array(*[_sub(F.col("vd"), m)
-                                            for m in range(m_sub)]))
+              .withColumn("vdg", _guarded(F.col("vd")))
+              .withColumn("subs", F.transform(
+                  F.sequence(F.lit(0), F.lit(m_sub - 1)), _sub))
               .withColumn("lut", lut)
               .select(F.col("id").alias("qid"),
                       F.col("vnorm").alias("qnorm"), "lut",
