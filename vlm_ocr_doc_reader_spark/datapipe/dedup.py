@@ -92,6 +92,67 @@ def _signature_array(k: int, n_hashes: int, text_col: str):
             sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit(":"), x)))))
 
 
+def _signature_frame(df: DataFrame, n_hashes: int, k: int,
+                     id_col: str, text_col: str) -> DataFrame:
+    """(id, sig array<string>) via an Arrow-batched kernel (mapInArrow) —
+    the EXACT hash family of ``_signature_array``, computed in
+    hashlib/Python instead of interpreted Catalyst HOFs.
+
+    Why: the expression form evaluates md5 through nested
+    transform/array_min lambdas — measured ~50 CPU-seconds per evaluation
+    at sf0.1 (the single largest CPU sink of the curation pipeline);
+    hashlib on pre-encoded shingle bytes is ~10x cheaper, and min over
+    the DISTINCT shingle set (min over a multiset equals min over its
+    set) cuts duplicate hashing too.  Guide §4.2: ship only (id, text),
+    batch via Arrow, no per-row Python UDF.
+
+    Exactness contract (each step mirrors the Catalyst twin, which stays
+    in ``_signature_array`` as the oracle-documented form):
+      * trim  = leading/trailing SPACE only  -> str.strip(' ')
+      * \\s+  = Java ASCII class [ \\t\\n\\x0B\\f\\r] -> re.ASCII \\s+
+      * lower AFTER the collapse; split(' ') keeps empty tokens
+      * null/short text -> the [normalized-text] singleton ([''] for
+        null/empty, matching concat_ws's null-skip)
+      * md5 of 'seed:shingle' UTF-8 bytes, lowercase hex, lexicographic
+        min — engine-independent, so the DuckDB oracles are untouched.
+    Parity is pinned by the merge_shards cross-engine fuzz
+    (unicode/whitespace adversarial docs) and every minhash gate oracle.
+    Input contract: ONE row per id (as ``minhash_signatures``)."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+        ws = re.compile(r"\s+", re.ASCII)
+        md5 = hashlib.md5
+        prefixes = [f"{s}:".encode() for s in range(n_hashes)]
+        for rb in it:
+            sigs = []
+            for t in rb.column(1).to_pylist():
+                if t is None:
+                    shb = [b""]
+                else:
+                    norm = ws.sub(" ", t.strip(" ")).lower()
+                    words = norm.split(" ")
+                    if len(words) >= k:
+                        shb = [s.encode() for s in
+                               {" ".join(words[i:i + k])
+                                for i in range(len(words) - k + 1)}]
+                    else:
+                        shb = [norm.encode()]
+                sigs.append([min(md5(p + b).hexdigest() for b in shb)
+                             for p in prefixes])
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0),
+                 pa.array(sigs, type=pa.list_(pa.string()))],
+                names=["id", "sig"])
+
+    return df.select(F.col(id_col).alias("id"), F.col(text_col)) \
+        .mapInArrow(batches, schema=f"id {id_dt}, sig array<string>")
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 16, k: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
@@ -108,6 +169,12 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 16, k: int = 3,
     conflicting) signature per row, where the old explode+groupBy form
     pooled shingles across rows.  Pre-aggregate text per id (e.g.
     concat_ws over collect_list) before calling if ids can repeat.
+
+    Stays the pure-Catalyst expression form: the Arrow kernel
+    (``_signature_frame``) pays a fixed Python-stage cost that LOSES on
+    the small frames these entry points serve (measured +0.3-0.6 s on
+    merge_shards / minhash_sig at sf0.1) and only wins where the
+    signature work dominates (``minhash_band_buckets``'s consumers).
     """
     return (df.select(F.col(id_col).alias("id"),
                       _signature_array(k, n_hashes, text_col).alias("_sig"))
@@ -121,7 +188,8 @@ def signature_table(df: DataFrame, n_hashes: int = 16, k: int = 3,
     """Array-form MinHash signature per doc: (id, sig array<string>) —
     the shape ``merge_signature_shards`` consumes and the sharded-ingest
     index stores.  Same hashes as ``minhash_signatures`` (which is the
-    posexploded view of this), same zero-shuffle narrow plan."""
+    posexploded view of this), same zero-shuffle narrow plan (and the
+    same small-frame reasoning for staying in expression form)."""
     return df.select(F.col(id_col).alias("id"),
                      _signature_array(k, n_hashes, text_col).alias("sig"))
 
@@ -160,8 +228,8 @@ def minhash_band_buckets(df: DataFrame, n_hashes: int = 16,
     Input contract: ONE row per id (same as ``minhash_signatures`` — the
     per-row form cannot pool shingles across rows of a repeated id)."""
     n_bands = n_hashes // rows_per_band
-    sig = _signature_array(k, n_hashes, text_col)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+    with_sig = _signature_frame(df, n_hashes, k, id_col, text_col) \
+        .withColumnRenamed("sig", "_sig")
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.md5(F.concat_ws("|", F.array_sort(F.transform(

@@ -121,16 +121,36 @@ def resolve(documents: DataFrame, registry: DataFrame,
 
     ``pages`` restricts work to those page numbers (P3,
     core/reader.py:267-268)."""
+    registry = _pin_multi_ref(registry)
     pending = _with_run_idx(pending_entities(registry))
     if pages:
         pending = pending.filter(F.col("page_num").isin(pages))
     kept = kept if kept is not None else _kept_text_spans(documents)
     results = _ocr_pass(kept, pending)
     updated = apply_ocr_result(pending.drop("run_idx"), results, resolution=1)
-    return upsert_entries(registry, updated)
+    out = upsert_entries(registry, updated)
+    from ..datapipe.cache import attach_cached_deps
+    return attach_cached_deps(out, registry)
 
 
 AXIS_CHUNK_CHARS = 16
+
+
+def _pin_multi_ref(registry: DataFrame) -> DataFrame:
+    """Persist a registry frame that the caller is about to reference
+    several times (resolve reads it twice, verify three times): without
+    the pin Catalyst inlines the registry's WHOLE upstream DAG — for
+    verify-after-resolve that is two extra executions of the resolve
+    join/upsert chain per run, measured as ~30 mostly-idle sequential
+    stages (2.4 CPU-s over a 2.7 s wall at sf0.1).  No-op when the
+    caller already persisted it.  The handle is attached to the result
+    via ``attach_cached_deps`` (the package-wide cache lifecycle), so
+    ``release_cached``/``release_all_cached`` free it."""
+    from ..datapipe.cache import _is_persisted
+    if _is_persisted(registry):
+        return registry
+    from pyspark import StorageLevel
+    return registry.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _ocr_pass_chunked(kept_spans: DataFrame, targets: DataFrame,
@@ -189,6 +209,7 @@ def verify(documents: DataFrame, registry: DataFrame,
     semantics end-to-end (see ``_ocr_pass_chunked``)."""
     if axis_mode not in ("fanout", "chunk"):
         raise ValueError(f"verify: unknown axis_mode {axis_mode!r}")
+    registry = _pin_multi_ref(registry)
     targets = _with_run_idx(registry)
     if pages:
         targets = targets.filter(F.col("page_num").isin(pages))
@@ -210,4 +231,6 @@ def verify(documents: DataFrame, registry: DataFrame,
                        F.lit(2).alias("resolution"),
                        "value", "context",
                        "verified", "confidence"))
-    return upsert_entries(registry, updates)
+    out = upsert_entries(registry, updates)
+    from ..datapipe.cache import attach_cached_deps
+    return attach_cached_deps(out, registry)

@@ -60,7 +60,22 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
             return df
     except Exception:
         pass
-    return df.repartition(n)
+    if df.isStreaming:
+        return df.repartition(n)
+    # LAZY localCheckpoint = a pushdown barrier, not just a repartition:
+    # the optimizer pushes filters on DERIVED columns (e.g. the quality
+    # score's whole regex formula) below a bare round-robin exchange,
+    # which re-serializes the compute-dense chain onto the single input
+    # split this function exists to escape AND duplicates it (filter
+    # below + projection above — guide §4.4's pushdown-duplication in
+    # Catalyst form; measured as two 1-task ~3.5 CPU-s stages per cold
+    # curation run at sf0.1).  A checkpoint boundary is opaque to the
+    # optimizer, so downstream filters stay above the lifted partitions.
+    # Only ever reached on inputs small enough to repartition trivially
+    # (the >= n peek above returns big inputs untouched), and the
+    # checkpoint is lazy — it materializes inside whatever action runs
+    # first, costing one cache write of the small lifted table.
+    return df.repartition(n).localCheckpoint(eager=False)
 
 
 def read_documents(spark: SparkSession, path: str,
