@@ -188,33 +188,70 @@ def _hashed_features(df: DataFrame, n_buckets: int, id_col: str,
     """(id, bucket, n[, is_t]): hashed unigram+bigram feature counts
     per doc.  Bucket = first 32 md5 bits of the feature string mod
     ``n_buckets`` (DuckDB twin: CAST('0x'||substr(md5(f),1,8) AS
-    BIGINT) % B).  Narrow until the per-(id,bucket) aggregate; bigrams
-    are a zip_with over each doc's own token array, never a self-join.
-    ``target`` rides along as a constant-per-doc ``is_t`` flag so the
-    caller never re-scans the corpus to identify target docs."""
-    from .dedup import _norm
-    words = F.filter(F.split(_norm(F.col(text_col)), " "),
-                     lambda x: x != "")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.zip_with(F.slice(words, 1, F.size(words) - 1),
-                   F.slice(words, 2, F.size(words) - 1),
-                   lambda a, b: F.concat(a, F.lit(" "), b))
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(words, bigrams)
-    bucket = (F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10)
-              .cast("long") % n_buckets).cast("int")
-    extra = [target.alias("is_t")] if target is not None else []
-    exploded = df.select(F.col(id_col).alias("id"), *extra,
-                         F.explode(feats).alias("feat"))
-    aggs = [F.count("*").alias("n")]
+    BIGINT) % B).  ``target`` rides along as a constant-per-doc
+    ``is_t`` flag so the caller never re-scans the corpus to identify
+    target docs.
+
+    Arrow-batched kernel (the ``dedup._signature_frame`` pattern): the
+    expression form exploded ~123 feature rows per doc, each paying an
+    interpreted md5+conv projection plus the (id, bucket) partial
+    aggregate — measured 19-31 CPU-s PER EVALUATION at sf0.1, and the
+    two consumers racing the cache population paid it up to 4x (96
+    CPU-s per dsir_select run).  The kernel emits the already-counted
+    (id, bucket, n) rows — same bucket math (first-8-hex of md5, utf-8
+    bytes, mod B), same per-occurrence counts, same null/empty-text
+    drop (no feature rows) — for ~2 CPU-s.  The per-(id, bucket)
+    output rows are what the old aggregate produced, so downstream
+    joins/aggregates see identical frames."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+    cols = [F.col(id_col).alias("id"), F.col(text_col).alias("_t")]
+    schema = f"id {id_dt}, bucket int, n bigint"
     if target is not None:
-        # constant per doc, so any_value is deterministic
-        aggs.append(F.any_value("is_t").alias("is_t"))
-    return (exploded
-            .select("id", bucket.alias("bucket"),
-                    *(["is_t"] if target is not None else []))
-            .groupBy("id", "bucket").agg(*aggs))
+        cols.append(target.alias("is_t"))
+        schema += ", is_t boolean"
+
+    def batches(it):
+        import hashlib
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+        ws = re.compile(r"\s+", re.ASCII)
+        md5 = hashlib.md5
+        for rb in it:
+            ids, buckets, ns, ts = [], [], [], []
+            texts = rb.column(1).to_pylist()
+            flags = rb.column(2).to_pylist() if rb.num_columns > 2 \
+                else [None] * len(texts)
+            for rid, t, flag in zip(rb.column(0).to_pylist(), texts,
+                                    flags):
+                if t is None:
+                    continue
+                words = [w for w in
+                         ws.sub(" ", t.strip(" ")).lower().split(" ")
+                         if w != ""]
+                feats = words + [f"{a} {b}" for a, b in
+                                 zip(words, words[1:])]
+                if not feats:
+                    continue
+                cnt = Counter(
+                    int(md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+                    for f in feats)
+                for b, n in cnt.items():
+                    ids.append(rid)
+                    buckets.append(b)
+                    ns.append(n)
+                    ts.append(flag)
+            arrays = [pa.array(ids, type=rb.column(0).type),
+                      pa.array(buckets, type=pa.int32()),
+                      pa.array(ns, type=pa.int64())]
+            names = ["id", "bucket", "n"]
+            if rb.num_columns > 2:
+                arrays.append(pa.array(ts, type=pa.bool_()))
+                names.append("is_t")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(*cols).mapInArrow(batches, schema=schema)
 
 
 def dsir_logweights(df: DataFrame, target: Column,
