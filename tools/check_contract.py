@@ -173,6 +173,13 @@ def main():
             print(f"ok   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
+    if n_pass == 0 and n_fail == 0:
+        # a typo'd query name (or --window intersected with names outside
+        # the window) selected NOTHING — exiting 0 here would read as a
+        # vacuous certification (ADVICE r7)
+        print("ERROR: selection matched no registry entries "
+              f"(names: {sorted(only) or '-'}, window={window})")
+        sys.exit(2)
     sys.exit(1 if n_fail else 0)
 
 

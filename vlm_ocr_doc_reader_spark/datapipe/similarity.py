@@ -704,11 +704,28 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
     # DuckDB twin) are unchanged.  Scale bound: a cell's members must
     # fit one row (max_cell cap; n_centroids must grow with the corpus
     # exactly like ivf_topk's).
+    # Fail LOUDLY on an over-cap cell instead of silently dropping its
+    # members from every probing query's candidate pool (ADVICE r7: the
+    # old filter collapsed recall with no signal once any cell exceeded
+    # max_cell — with 16 default centroids that is a few million
+    # vectors).  Mirrors the m_sub raise_error guard: the message names
+    # the knob to turn (n_centroids), and the check folds to a no-op on
+    # every in-bound cell.
     max_cell = 100_000
     members = (assign.groupBy("cid")
                .agg(F.array_sort(F.collect_list(
                    F.struct("nbr_id", "codes", "pqn"))).alias("members"))
-               .filter(F.size("members") <= max_cell))
+               .withColumn("members", F.when(
+                   F.size("members") > max_cell,
+                   F.raise_error(F.concat(
+                       F.lit("ivf_pq_topk: cell "),
+                       F.col("cid").cast("string"),
+                       F.lit(f" holds more than max_cell={max_cell} "
+                             "vectors ("),
+                       F.size("members").cast("string"),
+                       F.lit(") - raise n_centroids so cells stay "
+                             "row-sized"))))
+                   .otherwise(F.col("members"))))
 
     def _adc(mm):
         # m-ordered sum of lut[m*K + codes[m]] (codes are 1-based),

@@ -267,17 +267,24 @@ def bloom_probe(items: DataFrame, col: str, bloom: DataFrame,
     rows NEVER leave their partitions.  This is the whole point vs the
     distinct-shingle equi-join decontamination: zero probe-side
     exchange."""
+    # collision-safe internal alias (ADVICE r7): an items frame that
+    # already carries the hard-coded name would hit an ambiguous
+    # reference (or lose its column) — pick the first reserved name the
+    # caller does not use
+    bf = "__bloom_bf"
+    while bf in items.columns:
+        bf += "_"
     filt = bloom.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "bits"))).alias("_bf"))
+        F.collect_list(F.struct("w", "bits"))).alias(bf))
     h = _bloom_pos_structs(col, m_bits, k_hashes)
     verdict = F.aggregate(
         h, F.lit(True),
         lambda acc, s: acc & (F.coalesce(
-            F.element_at(F.col("_bf"), s["w"]), F.lit(0).cast("long"))
+            F.element_at(F.col(bf), s["w"]), F.lit(0).cast("long"))
             .bitwiseAND(s["mask"]) != 0))
     return (items.join(F.broadcast(filt))
             .withColumn("maybe_present", verdict)
-            .drop("_bf"))
+            .drop(bf))
 
 
 def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,

@@ -150,6 +150,14 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
             return _fold(spark.read.parquet(*paths)
                          .select(*_AGG_COLS, "n_events", "sum_value"))
         except Exception as e:  # racing compaction GC'd a snapshotted dir
+            # only the path-missing race is retryable (ADVICE r7):
+            # genuine corruption / schema errors must surface on the
+            # FIRST occurrence, not after a silent re-read
+            msg = str(e)
+            if ("PATH_NOT_FOUND" not in msg
+                    and "Path does not exist" not in msg
+                    and "FileNotFound" not in msg):
+                raise
             last_err = e
     raise last_err
 
