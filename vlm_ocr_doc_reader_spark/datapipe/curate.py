@@ -80,6 +80,13 @@ def curate_corpus(docs: DataFrame,
 
     # exact dedup: canonical (min id) per normalized-text digest survives
     digested = tagged.withColumn("_digest", F.md5(_norm(F.col(text_col))))
+    # the digest frame feeds BOTH sides of the canonical semi-join; the
+    # exact-persist below sits ABOVE the join, so without this pin the
+    # whole quality+lang+digest chain re-runs per side (two ~11 CPU-s
+    # stages per cold run at sf0.1)
+    if persist_intermediate:
+        from pyspark import StorageLevel
+        digested = digested.persist(StorageLevel.MEMORY_AND_DISK)
     canon = (digested.groupBy("_digest")
              .agg(F.min(id_col).alias(id_col)))
     exact = digested.join(canon, ["_digest", id_col], "left_semi") \
@@ -121,7 +128,7 @@ def curate_corpus(docs: DataFrame,
     if persist_intermediate:
         # fold in EVERY cache below: our deduped frame plus the handles
         # the LSH/Jaccard sub-operators persisted (jac carries cand's too)
-        attach_cached_deps(out, jac, exact)
+        attach_cached_deps(out, jac, exact, digested)
     return out
 
 
