@@ -1910,8 +1910,7 @@ def q_extract_flat(spark, sf_dir):
     oracle (derived spans carry no bbox/media, so the whole declarative
     path is SQL-expressible here)."""
     from .plans.extract import extract_flat
-    out = extract_flat(_derived_spans(spark, sf_dir),
-                       persist_intermediate=False)
+    out = extract_flat(_derived_spans(spark, sf_dir))
     return out.select("doc_id", "kind", F.col("text").alias("span_text"),
                       "media_ref", F.col("order").alias("ord"))
 

@@ -97,10 +97,23 @@ def extract_flat(documents: DataFrame,
     between the scan and reconcile phases — same DAG cut, durable instead of
     executor-local.
     """
+    cached = []
+    if persist_intermediate and classified is None:
+        # persist through the package cache lifecycle (attach + release)
+        # instead of _kept_spans' bare persist, so gate/bench callers can
+        # free the handle between passes — which is why the contract used
+        # to run this path persist-free and re-ran the classify scan once
+        # per reconcile branch (~3x the wall time at sf0.1)
+        from pyspark import StorageLevel
+        classified = classified_spans(documents).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        cached = [classified]
     kept = _kept_spans(documents, persist_parsed=persist_intermediate,
                        classified=classified)
     ranked = assign_rank(kept)
-    return reconcile_and_order(ranked)
+    out = reconcile_and_order(ranked)
+    from ..datapipe.cache import attach_cached_deps
+    return attach_cached_deps(out, *cached)
 
 
 def extract(documents: DataFrame, strategy: str = "fused",
