@@ -51,46 +51,59 @@ def majority_vote(samples: DataFrame,
                   key_cols: tuple[str, ...] = ("entity_id",)) -> DataFrame:
     keys = list(key_cols)
 
-    per_entity = (samples
-                  .withColumn("is_valid",
-                              F.col("status").isin("ok", "no_data"))
-                  .groupBy(*keys)
-                  .agg(F.count("*").alias("n_total"),
-                       F.count_if(F.col("is_valid")).alias("n_valid")))
-
-    valid = (samples
-             .filter(F.col("status").isin("ok", "no_data"))
-             .withColumn("norm", normalize_for_vote_col(F.col("value"))))
-
-    groups = (valid.groupBy(*keys, "norm")
-              .agg(F.count("*").alias("votes"),
-                   F.min("axis_idx").alias("first_pos"),
+    # TWO chained aggregates, one scan (the previous form read ``samples``
+    # twice — a per-key totals aggregate and a per-(key, norm) groups
+    # aggregate — then a top-1 window and a left join to marry them:
+    # three exchanges and a duplicated upstream; for verify's samples
+    # that upstream is a corpus join).  Level 1 groups by (key, norm)
+    # with errors parked in the null-norm group; level 2 folds groups
+    # per key: totals by sums, the winner by max_by over the
+    # (votes, -first_pos) struct — identical to the window's
+    # (votes DESC, first_pos ASC) top-1 because first_pos (the group's
+    # min axis_idx) is unique per key, and the null-norm group never
+    # wins (max_by ignores null ordering keys).  Same winner, same
+    # totals, same output columns.
+    norm = F.when(F.col("status").isin("ok", "no_data"),
+                  normalize_for_vote_col(F.col("value")))
+    groups = (samples
+              .withColumn("_norm", norm)
+              .groupBy(*keys, "_norm")
+              .agg(F.count("*").alias("_rows"),
+                   F.min("axis_idx").alias("_fp"),
                    F.min_by(F.struct("value", "context"), "axis_idx")
-                    .alias("first_sample")))
+                    .alias("_fs")))
+    folded = (groups.groupBy(*keys)
+              .agg(F.sum("_rows").alias("n_total"),
+                   F.sum(F.when(F.col("_norm").isNotNull(),
+                                F.col("_rows")).otherwise(F.lit(0)))
+                   .alias("n_valid"),
+                   F.max_by(
+                       F.struct(F.col("_norm").alias("norm"),
+                                F.col("_rows").alias("votes"),
+                                F.col("_fs").alias("first_sample")),
+                       F.when(F.col("_norm").isNotNull(),
+                              F.struct(F.col("_rows").alias("v"),
+                                       (-F.col("_fp")).alias("np"))))
+                   .alias("_w")))
 
-    w = Window.partitionBy(*keys).orderBy(F.desc("votes"), F.asc("first_pos"))
-    winners = (groups.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1)
-               .select(*keys, "norm", "votes", "first_sample"))
-
-    no_winner = F.col("votes").isNull()  # all samples errored
-    value = (F.when(no_winner | (F.col("norm") == spec.NO_DATA_SENTINEL),
+    no_winner = F.col("_w").isNull()  # all samples errored
+    value = (F.when(no_winner
+                    | (F.col("_w.norm") == spec.NO_DATA_SENTINEL),
                     F.lit(""))
-              .otherwise(F.trim(F.coalesce(F.col("first_sample.value"),
+              .otherwise(F.trim(F.coalesce(F.col("_w.first_sample.value"),
                                            F.lit("")))))
     context = F.when(no_winner, F.lit(None).cast("string")) \
-               .otherwise(F.col("first_sample.context"))
+               .otherwise(F.col("_w.first_sample.context"))
     confidence = (F.when(no_winner,
                          F.format_string("0/%d", F.col("n_total")))
-                   .otherwise(F.format_string("%d/%d", F.col("votes"),
+                   .otherwise(F.format_string("%d/%d", F.col("_w.votes"),
                                               F.col("n_valid"))))
     verified = (~no_winner
-                & (F.col("votes") == F.col("n_valid"))
+                & (F.col("_w.votes") == F.col("n_valid"))
                 & (F.col("n_valid") == F.col("n_total")))
 
-    return (per_entity.join(winners, keys, "left")
-            .select(*keys,
-                    value.alias("value"),
-                    context.alias("context"),
-                    confidence.alias("confidence"),
-                    verified.alias("verified")))
+    return folded.select(*keys,
+                         value.alias("value"),
+                         context.alias("context"),
+                         confidence.alias("confidence"),
+                         verified.alias("verified"))
