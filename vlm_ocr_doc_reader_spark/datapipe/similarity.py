@@ -598,15 +598,18 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
     cbs = cbs.withColumn(
         "c2", F.aggregate(F.transform("cw", lambda x: x * x),
                           F.lit(0.0), lambda a, x: a + x))
-    cb_arr = cbs.agg(F.collect_list(F.struct("m", "j", "cw", "c2"))
-                     .alias("cb"))
+    # sort the codebook ONCE in the single-row aggregate: every
+    # consumer row used to array_sort the same 256-struct array itself
+    # (2 branches x corpus rows x an interpreted struct sort)
+    cb_arr = (cbs.agg(F.collect_list(F.struct("m", "j", "cw", "c2"))
+                      .alias("cb"))
+              .select(F.array_sort(F.col("cb")).alias("cb_s")))
 
     base = (e.join(F.broadcast(cent_arr)).join(F.broadcast(cb_arr))
-            # sort the codebook ONCE per row: struct order (m, j, ...) is
+            # cb_s is pre-sorted above: struct order (m, j, ...) is
             # unique, so position m*n_codes + j is deterministic and every
             # later lookup is a direct element_at — no per-entry filtering
             # (the filter-per-lookup first cut was O(M*K) per access)
-            .withColumn("cb_s", F.array_sort(F.col("cb"))).drop("cb")
             .withColumn("vd", vd)
             .withColumn("vnorm", _norm2(F.col("vd"))))
 
@@ -683,7 +686,6 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                        lambda x, y: x * y),
             F.lit(0.0), lambda a, x: a + x))
     probes = (tagged.join(F.broadcast(cb_arr))
-              .withColumn("cb_s", F.array_sort(F.col("cb"))).drop("cb")
               .withColumn("vdg", _guarded(F.col("vd")))
               .withColumn("subs", F.transform(
                   F.sequence(F.lit(0), F.lit(m_sub - 1)), _sub))
@@ -727,32 +729,85 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                              "row-sized"))))
                    .otherwise(F.col("members"))))
 
-    def _adc(mm):
-        # m-ordered sum of lut[m*K + codes[m]] (codes are 1-based),
-        # UNROLLED over the (Python-int) m_sub: the aggregate-over-
-        # sequence form allocated the index array and dispatched the
-        # lambda per m for every (query, member) pair — this is the
-        # innermost expression of the whole query (queries x probes x
-        # cell members evaluations).  Same left-to-right additions from
-        # the same 0.0 seed, so values are bit-identical.
-        adot = F.lit(0.0)
-        for m in range(m_sub):
-            adot = adot + F.element_at(
-                F.col("lut"),
-                (m * n_codes + F.element_at(mm["codes"], m + 1))
-                .cast("int"))
-        return (adot / (F.col("qnorm") * mm["pqn"])).cast("double")
-
+    # ADC scoring of whole cells runs in a vectorized Arrow kernel: the
+    # joined row already carries the query LUT and the broadcast cell
+    # member-array, and the per-member work (m_sub LUT gathers + a sort
+    # for the shortlist) was the innermost loop of the whole query —
+    # queries x probes x cell-members evaluations of interpreted HOF
+    # lambdas, measured as a 48 CPU-s stage (~20 ms per query row) at
+    # sf0.1.  numpy reproduces it bit-for-bit: the m-ordered gather sum
+    # is an elementwise left fold from 0.0 (never np.sum, whose pairwise
+    # blocking changes addition order), adc = adot / (qnorm * pqn) in
+    # the same order, and the (nadc, nbr_id) shortlist order is a stable
+    # lexsort — equal doubles (and NaNs) fall back to nbr_id exactly
+    # like array_sort on the (nadc, nbr_id) struct.
     r_short = max(rerank, k) if rerank else k
-    hits = F.slice(F.array_sort(F.transform(
-        F.filter(F.col("members"),
-                 lambda mm: mm["nbr_id"] != F.col("qid")),
-        lambda mm: F.struct((-_adc(mm)).alias("nadc"),
-                            mm["nbr_id"].alias("nbr_id")))), 1, r_short)
+    id_dt = emb.schema[id_col].dataType.simpleString()
+
+    def _score_batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for rb in it:
+            qid_a, qnorm_a, lut_a, mem_a = (rb.column(i) for i in range(4))
+            n_rows = len(qid_a)
+            out_empty = pa.RecordBatch.from_arrays(
+                [qid_a.slice(0, 0), qid_a.slice(0, 0),
+                 pa.array([], type=pa.float64())],
+                names=["qid", "nbr_id", "adc_cos"])
+            if n_rows == 0:
+                yield out_empty
+                continue
+            if isinstance(mem_a, pa.ChunkedArray):
+                mem_a = mem_a.combine_chunks()
+            if isinstance(lut_a, pa.ChunkedArray):
+                lut_a = lut_a.combine_chunks()
+            p = pc.list_parent_indices(mem_a).to_numpy(
+                zero_copy_only=False)
+            flat = mem_a.flatten()
+            if len(flat) == 0:
+                yield out_empty
+                continue
+            nbr = flat.field("nbr_id")
+            codes = np.asarray(flat.field("codes").flatten()).reshape(
+                len(flat), m_sub)
+            pqn = flat.field("pqn").to_numpy(zero_copy_only=False)
+            lut = np.asarray(lut_a.flatten()).reshape(
+                n_rows, m_sub * n_codes)
+            qn = qnorm_a.to_numpy(zero_copy_only=False)
+            # m-ordered left fold of lut[m*K + codes[m]] (codes 1-based)
+            adot = np.zeros(len(flat), dtype=np.float64)
+            for m in range(m_sub):
+                adot = adot + lut[p, m * n_codes + codes[:, m] - 1]
+            adc = adot / (qn[p] * pqn)
+            keep = np.flatnonzero(
+                pc.not_equal(nbr, qid_a.take(pa.array(p)))
+                .to_numpy(zero_copy_only=False))
+            if len(keep) == 0:
+                yield out_empty
+                continue
+            pk, nadck = p[keep], -adc[keep]
+            nbrk = nbr.take(pa.array(keep))
+            nbr_np = nbrk.to_numpy(zero_copy_only=False)
+            order = np.lexsort((nbr_np, nadck, pk))
+            ps = pk[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ps)) + 1))
+            rank = (np.arange(len(order))
+                    - np.repeat(starts, np.diff(
+                        np.concatenate((starts, [len(order)])))))
+            top = order[rank < r_short]
+            sel = pa.array(top)
+            yield pa.RecordBatch.from_arrays(
+                [qid_a.take(pa.array(pk[top])), nbrk.take(sel),
+                 pa.array(-nadck[top], type=pa.float64())],
+                names=["qid", "nbr_id", "adc_cos"])
+
     scored = (probes.join(F.broadcast(members), "cid")
-              .select("qid", "qnorm", F.explode(hits).alias("h"))
-              .select("qid", F.col("h.nbr_id").alias("nbr_id"),
-                      (-F.col("h.nadc")).alias("adc_cos")))
+              .select("qid", "qnorm", "lut", "members")
+              .mapInArrow(_score_batches,
+                          schema=f"qid {id_dt}, nbr_id {id_dt}, "
+                                 f"adc_cos double"))
     wq = Window.partitionBy("qid").orderBy(F.desc("adc_cos"),
                                            F.asc("nbr_id"))
     if not rerank:
