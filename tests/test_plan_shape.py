@@ -173,13 +173,20 @@ def test_write_partitioned_multiple_files_per_partition(spark, tmp_path):
 
 
 def test_vote_partial_aggregation(spark):
-    """The vote agg must use hash aggregation (map-side partials)."""
+    """The vote agg must do map-side PARTIAL aggregation (hash- or
+    sort-based: min_by/max_by struct buffers are not hash-aggregable, so
+    the r8 two-aggregate form plans SortAggregate — partial mode is the
+    invariant, the exec flavor is not), must not use a window, and must
+    fit in the two key exchanges of its two aggregation levels."""
     from vlm_ocr_doc_reader_spark.operators.vote import majority_vote
     s = spark.createDataFrame(
         [("e", 0, "v", "c", "ok")],
         "entity_id string, axis_idx int, value string, context string, status string")
     p = plan(majority_vote(s))
-    assert "HashAggregate" in p
+    assert "partial_" in p, p            # map-side partials
+    assert "Window" not in p, p          # top-1 folded into max_by
+    tree = p.split("== Physical Plan ==")[1].split("===== Subqueries")[0]
+    assert tree.count("Exchange (") <= 2, tree
 
 
 def test_scd2_single_exchange(spark):

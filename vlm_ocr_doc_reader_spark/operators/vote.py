@@ -22,9 +22,11 @@ Input:  samples(entity_id, axis_idx int, value, context, status) —
         axis_idx is the sample's input position (J5 tags runs with it).
 Output: (entity_id, value, context, confidence, verified).
 
-Scale: two hash aggregations + one top-1-per-key window, all partitioned by
-entity_id — map-side partial aggregation applies; no skew (each entity has
-only N_axes samples).
+Scale: two chained aggregations (per-(key, norm) groups, then a per-key
+fold whose max_by picks the winner — no window, no join, one scan of the
+samples); map-side partial aggregation applies (sort-based: the
+min_by/max_by struct buffers are not hash-aggregable), and there is no
+skew (each entity has only N_axes samples).
 """
 
 from __future__ import annotations
