@@ -62,20 +62,28 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
         pass
     if df.isStreaming:
         return df.repartition(n)
-    # LAZY localCheckpoint = a pushdown barrier, not just a repartition:
-    # the optimizer pushes filters on DERIVED columns (e.g. the quality
-    # score's whole regex formula) below a bare round-robin exchange,
-    # which re-serializes the compute-dense chain onto the single input
-    # split this function exists to escape AND duplicates it (filter
-    # below + projection above — guide §4.4's pushdown-duplication in
-    # Catalyst form; measured as two 1-task ~3.5 CPU-s stages per cold
-    # curation run at sf0.1).  A checkpoint boundary is opaque to the
-    # optimizer, so downstream filters stay above the lifted partitions.
+    # Registered lazy persist = a pushdown barrier, not just a
+    # repartition: the optimizer pushes filters on DERIVED columns (e.g.
+    # the quality score's whole regex formula) below a bare round-robin
+    # exchange, which re-serializes the compute-dense chain onto the
+    # single input split this function exists to escape AND duplicates
+    # it (filter below + projection above — guide §4.4's
+    # pushdown-duplication in Catalyst form; measured as two 1-task
+    # ~3.5 CPU-s stages per cold curation run at sf0.1).  The cache
+    # substitution happens BEFORE optimization, so downstream filters
+    # stay above the lifted partitions.  persist (vs localCheckpoint,
+    # the first cut): the cached plan stays plan-matchable, so an
+    # immediate re-run of the same pipeline reuses it (localCheckpoint
+    # mints a fresh RDD leaf per call and broke curation's warm-path
+    # cache matching, 3.4 -> 6.6 s warm).  Registered in the package
+    # cache registry so release_all_cached()/bench passes free it.
     # Only ever reached on inputs small enough to repartition trivially
-    # (the >= n peek above returns big inputs untouched), and the
-    # checkpoint is lazy — it materializes inside whatever action runs
-    # first, costing one cache write of the small lifted table.
-    return df.repartition(n).localCheckpoint(eager=False)
+    # (the >= n peek above returns big inputs untouched); lazy — it
+    # materializes inside whatever action runs first.
+    from pyspark import StorageLevel
+    out = df.repartition(n).persist(StorageLevel.MEMORY_AND_DISK)
+    from ..datapipe.cache import attach_cached_deps
+    return attach_cached_deps(out, out)
 
 
 def read_documents(spark: SparkSession, path: str,
