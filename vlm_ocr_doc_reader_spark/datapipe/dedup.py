@@ -43,28 +43,29 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def tokens(df: DataFrame, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
-    """(id, token) distinct word tokens of the normalized text."""
+    """(id, token) distinct word tokens of the normalized text.
+
+    Distinctness is per ROW (``array_distinct`` before the explode — a
+    narrow expression) instead of a corpus-wide distinct exchange; with
+    the module's standard ONE-row-per-id input contract the two are
+    identical.  Pre-aggregate text per id first if ids can repeat."""
     return (df
             .select(F.col(id_col).alias("id"),
-                    F.explode(F.split(_norm(F.col(text_col)), " "))
-                     .alias("token"))
-            .filter(F.col("token") != "")
-            .distinct())
+                    F.explode(F.array_distinct(F.filter(
+                        F.split(_norm(F.col(text_col)), " "),
+                        lambda t: t != ""))).alias("token")))
 
 
 def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
-    """(id, shingle): distinct k-word shingles (k-grams) of the text."""
-    words = F.split(_norm(F.col(text_col)), " ")
-    n = F.size(words)
-    sh = F.when(
-        n >= k,
-        F.transform(F.sequence(F.lit(1), n - k + 1),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    """(id, shingle): distinct k-word shingles (k-grams) of the text.
+
+    Per-row ``array_distinct`` replaces the old corpus-wide distinct
+    exchange (identical output under the module's ONE-row-per-id input
+    contract; pre-aggregate text per id first if ids can repeat)."""
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(sh).alias("shingle"))
-              .distinct())
+                      F.explode(F.array_distinct(
+                          _shingle_array(k, text_col))).alias("shingle")))
 
 
 def _shingle_array(k: int, text_col: str):
