@@ -345,14 +345,121 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
         F.col("vnorm").alias("qnorm"),
         F.explode(F.transform("cells", lambda s: s["cid"])).alias("cid"))
 
-    cand = (probes.join(assign.select(F.col("id").alias("nbr_id"),
-                                      F.col("vd").alias("vb"),
-                                      F.col("vnorm").alias("nnorm"), "cid"),
-                        "cid")
-            .filter(F.col("qid") != F.col("nbr_id")))
-    scored = cand.withColumn(
-        "cosine", (_dot(F.col("va"), F.col("vb"))
-                   / (F.col("qnorm") * F.col("nnorm"))).cast("double"))
+    # Cells collapse to ONE member-array row each and the exact-cosine
+    # scan of a whole cell runs in a vectorized Arrow kernel — the same
+    # member-array shape ivf_pq_topk proved (its ADC stage), applied to
+    # the exact-vector path: the old pair join materialized queries x
+    # probes x cell-members rows each paying an interpreted 64-element
+    # HOF dot fold (~6 us/pair — the measured bulk of ivf_topk's wall).
+    # The kernel reproduces the fold bit-for-bit: dot is an elementwise
+    # left fold from 0.0 in index order (never np.sum — pairwise
+    # blocking would change addition order), cosine = dot / (qnorm *
+    # nnorm) on the SAME carried norms, and EVERY pair is emitted (no
+    # in-kernel shortlist), so the unchanged top-k window downstream
+    # keeps Spark's ordering/tie/NaN semantics exactly.  Rows with
+    # null/ragged vectors take a per-row fallback that mirrors
+    # zip_with+aggregate null algebra (any null element -> null dot).
+    # Scale bound: a cell's members must fit one row — n_centroids must
+    # grow with the corpus (same rule as ivf_pq_topk, whose docstring
+    # documents it; exact-vector member rows are ~25x the PQ codes).
+    members = (assign.groupBy("cid")
+               .agg(F.collect_list(
+                   F.struct(F.col("id").alias("nbr_id"),
+                            F.col("vd").alias("vb"),
+                            F.col("vnorm").alias("nnorm"))).alias("members")))
+    id_dt = emb.schema[id_col].dataType.simpleString()
+
+    def _pair_batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for rb in it:
+            qid_a, va_a, qn_a, mem_a = (rb.column(i) for i in range(4))
+            n_rows = len(qid_a)
+            out_empty = pa.RecordBatch.from_arrays(
+                [qid_a.slice(0, 0), qid_a.slice(0, 0),
+                 pa.array([], type=pa.float64())],
+                names=["qid", "nbr_id", "cosine"])
+            if n_rows == 0:
+                yield out_empty
+                continue
+            if isinstance(mem_a, pa.ChunkedArray):
+                mem_a = mem_a.combine_chunks()
+            if isinstance(va_a, pa.ChunkedArray):
+                va_a = va_a.combine_chunks()
+            p = pc.list_parent_indices(mem_a).to_numpy(zero_copy_only=False)
+            flat = mem_a.flatten()
+            if len(flat) == 0:
+                yield out_empty
+                continue
+            nbr = flat.field("nbr_id")
+            vb_a = flat.field("vb")
+            nn = flat.field("nnorm").to_numpy(zero_copy_only=False)
+            qn = qn_a.to_numpy(zero_copy_only=False)
+            qlen = pc.list_value_length(va_a).to_numpy(zero_copy_only=False)
+            blen = pc.list_value_length(vb_a).to_numpy(zero_copy_only=False)
+            uniform = (
+                va_a.null_count == 0 and vb_a.null_count == 0
+                and va_a.values.null_count == 0
+                and vb_a.values.null_count == 0
+                and len(set(qlen.tolist())) == 1
+                and len(set(blen.tolist())) == 1
+                and qlen[0] == blen[0])
+            if uniform:
+                d = int(qlen[0])
+                VA = np.asarray(va_a.flatten()).reshape(n_rows, d)
+                VB = np.asarray(vb_a.flatten()).reshape(len(flat), d)
+                VAp = VA[p]
+                adot = np.zeros(len(flat), dtype=np.float64)
+                for j in range(d):
+                    adot = adot + VAp[:, j] * VB[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = adot / (qn[p] * nn)
+                cos_arr = pa.array(cos, type=pa.float64())
+            else:
+                # mirror zip_with+aggregate null algebra exactly:
+                # null vector / null element / length mismatch -> null
+                va_py = va_a.to_pylist()
+                vb_py = vb_a.to_pylist()
+                qn_py = qn_a.to_pylist()
+                nn_py = flat.field("nnorm").to_pylist()
+                vals = []
+                for i in range(len(flat)):
+                    a, b = va_py[p[i]], vb_py[i]
+                    if (a is None or b is None or len(a) != len(b)
+                            or any(x is None for x in a)
+                            or any(x is None for x in b)):
+                        vals.append(None)
+                        continue
+                    acc = 0.0
+                    for x, y in zip(a, b):
+                        acc = acc + x * y
+                    q, n_ = qn_py[p[i]], nn_py[i]
+                    if q is None or n_ is None:
+                        vals.append(None)
+                        continue
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        vals.append(float(np.float64(acc)
+                                          / (np.float64(q)
+                                             * np.float64(n_))))
+                cos_arr = pa.array(vals, type=pa.float64())
+            keep = np.flatnonzero(
+                pc.not_equal(nbr, qid_a.take(pa.array(p)))
+                .to_numpy(zero_copy_only=False))
+            if len(keep) == 0:
+                yield out_empty
+                continue
+            sel = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [qid_a.take(pa.array(p[keep])), nbr.take(sel),
+                 cos_arr.take(sel)],
+                names=["qid", "nbr_id", "cosine"])
+
+    scored = (probes.join(F.broadcast(members), "cid")
+              .select("qid", "va", "qnorm", "members")
+              .mapInArrow(_pair_batches,
+                          schema=f"qid {id_dt}, nbr_id {id_dt}, "
+                                 f"cosine double"))
     wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(wq))
             .filter(F.col("rank") <= k)
