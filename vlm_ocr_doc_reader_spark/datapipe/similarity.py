@@ -136,6 +136,142 @@ def _cap_buckets(e: DataFrame, max_bucket: int,
     return e.join(F.broadcast(sized.select(*cols)), cols)
 
 
+def _pair_scan(left: DataFrame, right: DataFrame, keys: list[str],
+               id_dt: str, cmp: str = "ne",
+               broadcast_members: bool = False) -> DataFrame:
+    """Score every same-key (left x right) vector pair in a vectorized
+    Arrow kernel over per-key member arrays — the shared pair stage of
+    the bucketed/celled ANN operators.
+
+    ``left``: ``keys`` + (qid, va, qnorm); ``right``: ``keys`` +
+    (nbr_id, vb, nnorm) — both sides carrying the once-computed double
+    cast and norm (``_with_vec_norm``).  The right side collapses to ONE
+    member-array row per key, the left side joins those rows (broadcast
+    when the key count is tiny, e.g. IVF cells), and the kernel scores a
+    whole member array per left row.  Output: (qid, nbr_id, cosine) for
+    pairs passing ``cmp`` ("ne": qid != nbr_id, "lt": qid < nbr_id).
+
+    Bit-exact vs the expression form it replaces
+    (``_carried_cosine()`` = aggregate(zip_with) fold): dot is an
+    elementwise left fold from 0.0 in index order (never np.sum, whose
+    pairwise blocking changes addition order), cosine = dot /
+    (qnorm * nnorm) on the same carried norms, and EVERY pair is
+    emitted — no in-kernel top-k — so downstream windows/aggregates
+    keep Spark ordering/tie/NaN semantics unchanged.  Rows with
+    null/ragged vectors take a per-row fallback that mirrors
+    zip_with+aggregate null algebra (any null element -> null dot).
+    Scale bound: one key's members must fit one row — cap or grow the
+    key count with the corpus (max_bucket / n_centroids), exactly as
+    every bucketed caller already does.
+
+    WHEN TO USE (measured): wins when keys are FEW and member arrays
+    LARGE (IVF cells: 16 keys x ~125 members at sf0.1 — ivf_topk
+    4.22 -> 2.25 s same-window), because each left row amortizes the
+    Arrow boundary over a whole cell of folds.  LOSES on many-small-
+    bucket keys (SRP buckets: lsh_multiprobe 2.78 -> 3.10 s,
+    near_dup_lsh 1.57 -> 1.98 s same-window at sf0.1) — with ~10-member
+    buckets the per-row member-array serialization outweighs the few
+    folds it replaces, so the LSH callers keep the JVM fold join."""
+    members = (right.groupBy(*keys)
+               .agg(F.collect_list(
+                   F.struct("nbr_id", "vb", "nnorm")).alias("members")))
+    if broadcast_members:
+        members = F.broadcast(members)
+
+    def _pair_batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        cmp_fn = pc.not_equal if cmp == "ne" else pc.less
+        for rb in it:
+            qid_a, va_a, qn_a, mem_a = (rb.column(i) for i in range(4))
+            n_rows = len(qid_a)
+            out_empty = pa.RecordBatch.from_arrays(
+                [qid_a.slice(0, 0), qid_a.slice(0, 0),
+                 pa.array([], type=pa.float64())],
+                names=["qid", "nbr_id", "cosine"])
+            if n_rows == 0:
+                yield out_empty
+                continue
+            if isinstance(mem_a, pa.ChunkedArray):
+                mem_a = mem_a.combine_chunks()
+            if isinstance(va_a, pa.ChunkedArray):
+                va_a = va_a.combine_chunks()
+            p = pc.list_parent_indices(mem_a).to_numpy(zero_copy_only=False)
+            flat = mem_a.flatten()
+            if len(flat) == 0:
+                yield out_empty
+                continue
+            nbr = flat.field("nbr_id")
+            vb_a = flat.field("vb")
+            nn = flat.field("nnorm").to_numpy(zero_copy_only=False)
+            qn = qn_a.to_numpy(zero_copy_only=False)
+            qlen = pc.list_value_length(va_a).to_numpy(zero_copy_only=False)
+            blen = pc.list_value_length(vb_a).to_numpy(zero_copy_only=False)
+            uniform = (
+                va_a.null_count == 0 and vb_a.null_count == 0
+                and va_a.values.null_count == 0
+                and vb_a.values.null_count == 0
+                and len(set(qlen.tolist())) == 1
+                and len(set(blen.tolist())) == 1
+                and qlen[0] == blen[0])
+            if uniform:
+                d = int(qlen[0])
+                VA = np.asarray(va_a.flatten()).reshape(n_rows, d)
+                VB = np.asarray(vb_a.flatten()).reshape(len(flat), d)
+                VAp = VA[p]
+                adot = np.zeros(len(flat), dtype=np.float64)
+                for j in range(d):
+                    adot = adot + VAp[:, j] * VB[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = adot / (qn[p] * nn)
+                cos_arr = pa.array(cos, type=pa.float64())
+            else:
+                # mirror zip_with+aggregate null algebra exactly:
+                # null vector / null element / length mismatch -> null
+                va_py = va_a.to_pylist()
+                vb_py = vb_a.to_pylist()
+                qn_py = qn_a.to_pylist()
+                nn_py = flat.field("nnorm").to_pylist()
+                vals = []
+                for i in range(len(flat)):
+                    a, b = va_py[p[i]], vb_py[i]
+                    if (a is None or b is None or len(a) != len(b)
+                            or any(x is None for x in a)
+                            or any(x is None for x in b)):
+                        vals.append(None)
+                        continue
+                    acc = 0.0
+                    for x, y in zip(a, b):
+                        acc = acc + x * y
+                    q, n_ = qn_py[p[i]], nn_py[i]
+                    if q is None or n_ is None:
+                        vals.append(None)
+                        continue
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        vals.append(float(np.float64(acc)
+                                          / (np.float64(q)
+                                             * np.float64(n_))))
+                cos_arr = pa.array(vals, type=pa.float64())
+            ql = qid_a.take(pa.array(p))
+            keep = np.flatnonzero(
+                cmp_fn(ql, nbr).to_numpy(zero_copy_only=False))
+            if len(keep) == 0:
+                yield out_empty
+                continue
+            sel = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [qid_a.take(pa.array(p[keep])), nbr.take(sel),
+                 cos_arr.take(sel)],
+                names=["qid", "nbr_id", "cosine"])
+
+    return (left.join(members, keys)
+            .select("qid", "va", "qnorm", "members")
+            .mapInArrow(_pair_batches,
+                        schema=f"qid {id_dt}, nbr_id {id_dt}, "
+                               f"cosine double"))
+
+
 def srp_dropped_buckets(emb: DataFrame, planes: list[list[float]],
                         max_bucket: int = 1000,
                         id_col: str = "vec_id",
@@ -346,120 +482,23 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
         F.explode(F.transform("cells", lambda s: s["cid"])).alias("cid"))
 
     # Cells collapse to ONE member-array row each and the exact-cosine
-    # scan of a whole cell runs in a vectorized Arrow kernel — the same
-    # member-array shape ivf_pq_topk proved (its ADC stage), applied to
-    # the exact-vector path: the old pair join materialized queries x
+    # scan of a whole cell runs in the shared _pair_scan Arrow kernel —
+    # the member-array shape ivf_pq_topk proved (its ADC stage), applied
+    # to the exact-vector path: the old pair join materialized queries x
     # probes x cell-members rows each paying an interpreted 64-element
     # HOF dot fold (~6 us/pair — the measured bulk of ivf_topk's wall).
-    # The kernel reproduces the fold bit-for-bit: dot is an elementwise
-    # left fold from 0.0 in index order (never np.sum — pairwise
-    # blocking would change addition order), cosine = dot / (qnorm *
-    # nnorm) on the SAME carried norms, and EVERY pair is emitted (no
-    # in-kernel shortlist), so the unchanged top-k window downstream
-    # keeps Spark's ordering/tie/NaN semantics exactly.  Rows with
-    # null/ragged vectors take a per-row fallback that mirrors
-    # zip_with+aggregate null algebra (any null element -> null dot).
-    # Scale bound: a cell's members must fit one row — n_centroids must
-    # grow with the corpus (same rule as ivf_pq_topk, whose docstring
+    # The n_centroids member rows broadcast; every pair is emitted so
+    # the unchanged top-k window keeps Spark semantics exactly.  Scale
+    # bound: a cell's members must fit one row — n_centroids must grow
+    # with the corpus (same rule as ivf_pq_topk, whose docstring
     # documents it; exact-vector member rows are ~25x the PQ codes).
-    members = (assign.groupBy("cid")
-               .agg(F.collect_list(
-                   F.struct(F.col("id").alias("nbr_id"),
-                            F.col("vd").alias("vb"),
-                            F.col("vnorm").alias("nnorm"))).alias("members")))
-    id_dt = emb.schema[id_col].dataType.simpleString()
-
-    def _pair_batches(it):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        for rb in it:
-            qid_a, va_a, qn_a, mem_a = (rb.column(i) for i in range(4))
-            n_rows = len(qid_a)
-            out_empty = pa.RecordBatch.from_arrays(
-                [qid_a.slice(0, 0), qid_a.slice(0, 0),
-                 pa.array([], type=pa.float64())],
-                names=["qid", "nbr_id", "cosine"])
-            if n_rows == 0:
-                yield out_empty
-                continue
-            if isinstance(mem_a, pa.ChunkedArray):
-                mem_a = mem_a.combine_chunks()
-            if isinstance(va_a, pa.ChunkedArray):
-                va_a = va_a.combine_chunks()
-            p = pc.list_parent_indices(mem_a).to_numpy(zero_copy_only=False)
-            flat = mem_a.flatten()
-            if len(flat) == 0:
-                yield out_empty
-                continue
-            nbr = flat.field("nbr_id")
-            vb_a = flat.field("vb")
-            nn = flat.field("nnorm").to_numpy(zero_copy_only=False)
-            qn = qn_a.to_numpy(zero_copy_only=False)
-            qlen = pc.list_value_length(va_a).to_numpy(zero_copy_only=False)
-            blen = pc.list_value_length(vb_a).to_numpy(zero_copy_only=False)
-            uniform = (
-                va_a.null_count == 0 and vb_a.null_count == 0
-                and va_a.values.null_count == 0
-                and vb_a.values.null_count == 0
-                and len(set(qlen.tolist())) == 1
-                and len(set(blen.tolist())) == 1
-                and qlen[0] == blen[0])
-            if uniform:
-                d = int(qlen[0])
-                VA = np.asarray(va_a.flatten()).reshape(n_rows, d)
-                VB = np.asarray(vb_a.flatten()).reshape(len(flat), d)
-                VAp = VA[p]
-                adot = np.zeros(len(flat), dtype=np.float64)
-                for j in range(d):
-                    adot = adot + VAp[:, j] * VB[:, j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = adot / (qn[p] * nn)
-                cos_arr = pa.array(cos, type=pa.float64())
-            else:
-                # mirror zip_with+aggregate null algebra exactly:
-                # null vector / null element / length mismatch -> null
-                va_py = va_a.to_pylist()
-                vb_py = vb_a.to_pylist()
-                qn_py = qn_a.to_pylist()
-                nn_py = flat.field("nnorm").to_pylist()
-                vals = []
-                for i in range(len(flat)):
-                    a, b = va_py[p[i]], vb_py[i]
-                    if (a is None or b is None or len(a) != len(b)
-                            or any(x is None for x in a)
-                            or any(x is None for x in b)):
-                        vals.append(None)
-                        continue
-                    acc = 0.0
-                    for x, y in zip(a, b):
-                        acc = acc + x * y
-                    q, n_ = qn_py[p[i]], nn_py[i]
-                    if q is None or n_ is None:
-                        vals.append(None)
-                        continue
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        vals.append(float(np.float64(acc)
-                                          / (np.float64(q)
-                                             * np.float64(n_))))
-                cos_arr = pa.array(vals, type=pa.float64())
-            keep = np.flatnonzero(
-                pc.not_equal(nbr, qid_a.take(pa.array(p)))
-                .to_numpy(zero_copy_only=False))
-            if len(keep) == 0:
-                yield out_empty
-                continue
-            sel = pa.array(keep)
-            yield pa.RecordBatch.from_arrays(
-                [qid_a.take(pa.array(p[keep])), nbr.take(sel),
-                 cos_arr.take(sel)],
-                names=["qid", "nbr_id", "cosine"])
-
-    scored = (probes.join(F.broadcast(members), "cid")
-              .select("qid", "va", "qnorm", "members")
-              .mapInArrow(_pair_batches,
-                          schema=f"qid {id_dt}, nbr_id {id_dt}, "
-                                 f"cosine double"))
+    scored = _pair_scan(
+        probes,
+        assign.select("cid", F.col("id").alias("nbr_id"),
+                      F.col("vd").alias("vb"),
+                      F.col("vnorm").alias("nnorm")),
+        ["cid"], emb.schema[id_col].dataType.simpleString(),
+        broadcast_members=True)
     wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(wq))
             .filter(F.col("rank") <= k)
